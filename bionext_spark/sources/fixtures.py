@@ -1,0 +1,90 @@
+"""DataFrame loaders for the synthetic fixtures (S1/S3-S7 equivalents).
+
+The reference reads BioC JSON, JSONL KBs, .npy matrices, pickles and TSVs
+(SURVEY.md §2.1); our engine's canonical source is a columnar table per
+input. These builders create DataFrames from the deterministic synth rows
+with explicit schemas; ``write_fixture_tables`` materializes them as
+parquet so tests/bench exercise the real scan path (column pruning +
+predicate pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bionext_spark import schemas, synth
+
+TRAIN_DIRECT_RANKED = T.StructType(
+    [
+        T.StructField("label", T.StringType(), False),
+        T.StructField("text_key", T.StringType(), False),
+        T.StructField("linked_id", T.StringType(), False),
+        T.StructField("tax_id", T.StringType(), True),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+LEXICON_CONCEPTS_RANKED = T.StructType(
+    schemas.LEXICON_CONCEPTS.fields + [T.StructField("rank", T.IntegerType(), False)]
+)
+LEXICON_GENES_RANKED = T.StructType(
+    schemas.LEXICON_GENES.fields + [T.StructField("rank", T.IntegerType(), False)]
+)
+LEXICON_VARIANTS = T.StructType(
+    [
+        T.StructField("mention", T.StringType(), False),
+        T.StructField("identifier", T.StringType(), False),
+        T.StructField("gene_id", T.StringType(), True),
+    ]
+)
+
+
+def _with_rank(rows: list[dict]) -> list[dict]:
+    return [{**r, "rank": i} for i, r in enumerate(rows)]
+
+
+def transcripts_df(spark: SparkSession, rows: list[dict] | None = None) -> DataFrame:
+    return spark.createDataFrame(rows or synth.generate_transcripts(), schemas.TRANSCRIPTS)
+
+
+def lexicon_concepts_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_with_rank(synth.lexicon_concepts_rows()), LEXICON_CONCEPTS_RANKED)
+
+
+def lexicon_genes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_with_rank(synth.lexicon_genes_rows()), LEXICON_GENES_RANKED)
+
+
+def train_direct_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(synth.train_direct_rows(), TRAIN_DIRECT_RANKED)
+
+
+def lexicon_variants_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(synth.lexicon_variants_rows(), LEXICON_VARIANTS)
+
+
+FIXTURE_BUILDERS = {
+    "transcripts": transcripts_df,
+    "lexicon_concepts": lexicon_concepts_df,
+    "lexicon_genes": lexicon_genes_df,
+    "train_direct": train_direct_df,
+    "lexicon_variants": lexicon_variants_df,
+}
+
+
+def write_fixture_tables(spark: SparkSession, base_dir: str, transcripts_rows: list[dict] | None = None) -> dict[str, str]:
+    """Materialize fixtures as parquet; transcripts are bucketed by
+    hash(conv_id) via repartition so downstream per-conversation stages
+    start co-located."""
+    paths: dict[str, str] = {}
+    os.makedirs(base_dir, exist_ok=True)
+    for name, builder in FIXTURE_BUILDERS.items():
+        df = builder(spark, transcripts_rows) if name == "transcripts" else builder(spark)
+        path = os.path.join(base_dir, name)
+        if name == "transcripts":
+            df = df.repartition(32, "conv_id")
+        df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+    return paths
