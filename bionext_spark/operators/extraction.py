@@ -1,0 +1,123 @@
+"""Stage 3b — relation classification + aggregation → triples
+(SURVEY.md W3, K3, P3, J7, A2, F13).
+
+  pairs --mapInPandas--> chunk predictions   (W3 chunking + K3 kernel;
+                                              Arrow batch = model batch,
+                                              reference batch_size=128 at
+                                              main.py:67-69)
+  predictions --relational--> triples:
+    P3  filter per-chunk argmax != Negative_Class (extractor/__init__.py:80)
+    J7  comma-composite explode × explode (extractor/__init__.py:88-94)
+    A2  groupBy(conv, e1, e2): elementwise sum of softmax(relation logits)
+        + raw novel logits, then argmax (extractor/__init__.py:85-108) —
+        expressed as 9+2 plain F.sum aggregates (map-side partial agg,
+        whole-stage codegen; no UDAF needed)
+    final argmax != Negative_Class filter (extractor/__init__.py:128)
+    F13 id→label maps; deterministic output order (subj, obj).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bionext_spark import kernels as K
+from bionext_spark.adapters import RelationAdapter, StubRelationClassifier
+from bionext_spark.config import (
+    DEFAULT_CONFIG,
+    NEGATIVE_CLASS,
+    RELATION_LABELS,
+    PipelineConfig,
+)
+
+_PRED_SCHEMA = (
+    "conv_id string, e1_id string, e2_id string, "
+    "rel_softmax array<double>, novel_raw array<double>, pred_class int"
+)
+
+
+def classify_pairs(
+    pairs: DataFrame,
+    classifier: RelationAdapter | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """W3 + K3 — chunk each marked pair text (last chunk right-aligned,
+    marker-less chunks skipped, extractor/data.py:342-396) and classify
+    every chunk. One output row per chunk prediction."""
+    classifier = classifier or StubRelationClassifier()
+    max_len = cfg.max_seq_len
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
+            e1s, e2s, chunks, idx = [], [], [], []
+            for i, (e1, e2, marked) in enumerate(
+                zip(pdf["e1_id"], pdf["e2_id"], pdf["marked_text"])
+            ):
+                for ch in K.chunk_marked_text(marked, max_len, e1 != e2):
+                    e1s.append(e1)
+                    e2s.append(e2)
+                    chunks.append(ch)
+                    idx.append(i)
+            if e1s:
+                logits = classifier.classify_batch(e1s, e2s, chunks)
+                for i, (rel, nov) in zip(idx, logits):
+                    out["conv_id"].append(pdf["conv_id"].iloc[i])
+                    out["e1_id"].append(pdf["e1_id"].iloc[i])
+                    out["e2_id"].append(pdf["e2_id"].iloc[i])
+                    out["rel_softmax"].append(K.softmax(rel))
+                    out["novel_raw"].append(list(nov))
+                    out["pred_class"].append(K.argmax_first(rel))
+            yield pd.DataFrame(out, columns=list(out.keys()))
+
+    return pairs.mapInPandas(gen, _PRED_SCHEMA)
+
+
+def aggregate_triples(predictions: DataFrame) -> DataFrame:
+    """P3 + J7 + A2 + F13 — chunk predictions → TRIPLES."""
+    n_rel = len(RELATION_LABELS)
+    kept = predictions.filter(F.col("pred_class") != NEGATIVE_CLASS)
+    exploded = kept.select(
+        "conv_id",
+        F.explode(F.split("e1_id", ",")).alias("subj"),
+        F.col("e2_id"),
+        "rel_softmax",
+        "novel_raw",
+    ).select(
+        "conv_id",
+        "subj",
+        F.explode(F.split("e2_id", ",")).alias("obj"),
+        "rel_softmax",
+        "novel_raw",
+    )
+    agg = exploded.groupBy("conv_id", "subj", "obj").agg(
+        F.array(*[F.sum(F.col("rel_softmax")[i]) for i in range(n_rel)]).alias("rel_sum"),
+        F.array(*[F.sum(F.col("novel_raw")[i]) for i in range(2)]).alias("nov_sum"),
+    )
+    labels = F.array(*[F.lit(x) for x in RELATION_LABELS])
+    agg = agg.withColumn(
+        "label_idx", (F.expr("array_position(rel_sum, array_max(rel_sum))") - 1).cast("int")
+    ).withColumn("novel_idx", (F.expr("array_position(nov_sum, array_max(nov_sum))") - 1).cast("int"))
+    return (
+        agg.filter(F.col("label_idx") != NEGATIVE_CLASS)
+        .select(
+            "conv_id",
+            "subj",
+            labels[F.col("label_idx")].alias("pred"),
+            "obj",
+            (F.col("novel_idx") == 1).alias("novel"),
+        )
+        .orderBy("conv_id", "subj", "obj")
+    )
+
+
+def run_extractor(
+    pairs: DataFrame,
+    classifier: RelationAdapter | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    return aggregate_triples(classify_pairs(pairs, classifier, cfg))

@@ -1,0 +1,121 @@
+"""Stage 3a — candidate pair generation + marker instrumentation
+(SURVEY.md A7, J5, J6, W6).
+
+* A7 distinct-ids: ``select(conv_id, linked_id, label).distinct()``.
+* J5 self theta-join: pairs are combinations of the per-conversation
+  distinct set under the deterministic (type, id) total order, filtered by
+  the broadcast type-compatibility mask (reference mask at
+  src/extractor/data.py:40-61; at inference every surviving pair is a
+  candidate). The per-conversation pair cap bounds the O(n²) blow-up on
+  entity-rich conversations at scale (the reference has no cap; capped
+  counts surface in stage metrics).
+* J6 mention instrumentation: pairs × mentions equi-join on conv_id; the
+  reference's "first matching comma-part decides entity order" loop
+  (extractor/data.py:97-126) becomes min-position arithmetic over the
+  exploded part list.
+* W6 reverse-ordered marker insertion happens in one grouped kernel over
+  (pair, collected spans) — the only Python in this stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bionext_spark import kernels as K
+from bionext_spark.config import DEFAULT_CONFIG, VALID_TYPE_PAIRS, PipelineConfig
+
+
+def _type_pairs_df(spark):
+    rows = [{"t_lo": a, "t_hi": b} for a, b in sorted(VALID_TYPE_PAIRS)]
+    return spark.createDataFrame(rows, "t_lo string, t_hi string")
+
+
+def generate_pairs(clean_links: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A7 + J5 → (conv_id, e1_id, e1_type, e2_id, e2_type)."""
+    spark = clean_links.sparkSession
+    ids = clean_links.select("conv_id", "linked_id", "label").distinct()
+    a = ids.select(
+        "conv_id", F.col("linked_id").alias("e1_id"), F.col("label").alias("e1_type")
+    )
+    b = ids.select(
+        "conv_id", F.col("linked_id").alias("e2_id"), F.col("label").alias("e2_type")
+    )
+    pairs = a.join(b, "conv_id").filter(
+        F.struct(F.col("e1_type"), F.col("e1_id")) < F.struct(F.col("e2_type"), F.col("e2_id"))
+    )
+    mask = _type_pairs_df(spark)
+    pairs = pairs.join(
+        F.broadcast(mask),
+        (F.least("e1_type", "e2_type") == mask.t_lo) & (F.greatest("e1_type", "e2_type") == mask.t_hi),
+    ).drop("t_lo", "t_hi")
+    w = Window.partitionBy("conv_id").orderBy("e1_type", "e1_id", "e2_type", "e2_id")
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= cfg.max_pairs_per_conversation)
+        .drop("pair_rank")
+    )
+
+
+_MARK_SCHEMA = (
+    "conv_id string, e1_id string, e1_type string, e2_id string, e2_type string, "
+    "marked_text string"
+)
+
+
+def mark_pairs(pairs: DataFrame, clean_links: DataFrame, conversations: DataFrame) -> DataFrame:
+    """J6 + W6 → PAIRS with marked_text.
+
+    The mention-side explode + min-position logic reproduces the
+    reference's first-match-wins entity ordering exactly."""
+    mentions = clean_links.select(
+        "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
+    )
+    j = pairs.join(mentions, "conv_id")
+    j = j.withColumn(
+        "in1", F.array_contains(F.split("e1_id", ","), F.col("part"))
+    ).withColumn("in2", F.array_contains(F.split("e2_id", ","), F.col("part")))
+    j = j.filter(F.col("in1") | F.col("in2"))
+    # Per (pair, mention): the first part matching either side decides the
+    # order (reference break at extractor/data.py:110-121).
+    per_mention = j.groupBy(
+        "conv_id", "e1_id", "e1_type", "e2_id", "e2_type", "start", "end"
+    ).agg(
+        F.min(F.when(F.col("in1"), F.col("part_pos"))).alias("p1"),
+        F.min(F.when(F.col("in2"), F.col("part_pos"))).alias("p2"),
+    )
+    per_mention = per_mention.withColumn(
+        "order",
+        F.when(F.col("p1").isNotNull() & (F.col("p2").isNull() | (F.col("p1") <= F.col("p2"))), 1).otherwise(2),
+    )
+    spans = per_mention.groupBy("conv_id", "e1_id", "e1_type", "e2_id", "e2_type").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("order") == 1, F.struct("start", "end")))
+        ).alias("spans1"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("order") == 2, F.struct("start", "end")))
+        ).alias("spans2"),
+    )
+    with_doc = spans.join(conversations.select("conv_id", "doc_text"), "conv_id")
+
+    def mark(batches):
+        for pdf in batches:
+            marked = [
+                K.insert_markers(
+                    doc,
+                    [(s["start"], s["end"]) for s in (s1 if s1 is not None else [])],
+                    [(s["start"], s["end"]) for s in (s2 if s2 is not None else [])],
+                )
+                for doc, s1, s2 in zip(pdf["doc_text"], pdf["spans1"], pdf["spans2"])
+            ]
+            yield pdf.drop(columns=["doc_text", "spans1", "spans2"]).assign(marked_text=marked)
+
+    return with_doc.mapInPandas(mark, _MARK_SCHEMA)
+
+
+def run_pair_generation(
+    clean_links: DataFrame, conversations: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    return mark_pairs(generate_pairs(clean_links, cfg), clean_links, conversations)

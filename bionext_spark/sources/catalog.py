@@ -1,0 +1,141 @@
+"""Checkpointed stage tables with per-partition lineage + idempotent resume.
+
+The reference checkpoints by writing a BioC JSON file per stage and feeding
+its path to the next stage (src/tagger/__init__.py:140-144 etc.). Here each
+stage boundary is a **snapshotted table**: parquet data plus a JSON manifest
+recording the snapshot id, row count, per-partition row counts (lineage)
+and the input snapshot ids it was derived from.
+
+This is the Iceberg-shaped behavior the north rule requires (snapshot ids
+as checkpoint tokens, per-partition lineage, idempotent resume) implemented
+over plain parquet — the image has no Iceberg jars; ``iceberg_available``
+gates the real-catalog path so `USING iceberg` DDL can slot in on a
+cluster with the runtime jar present.
+
+Resume semantics: ``StageCatalog.run_stage`` derives the snapshot id from
+(stage name, input snapshot ids, config fingerprint). If a committed
+manifest for that id exists, the stage is skipped and its table re-read —
+re-running a half-finished pipeline recomputes only missing stages and
+yields byte-identical outputs (kernels are deterministic; writes go to a
+temp dir and are atomically renamed on commit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class Manifest:
+    stage: str
+    snapshot_id: str
+    row_count: int
+    partition_counts: dict[str, int]
+    inputs: list[str]
+    config_fingerprint: str
+    committed_at: float
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2, sort_keys=True)
+
+
+class StageCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _stage_dir(self, stage: str, snapshot_id: str) -> str:
+        return os.path.join(self.root, stage, snapshot_id)
+
+    def _manifest_path(self, stage: str, snapshot_id: str) -> str:
+        return os.path.join(self._stage_dir(stage, snapshot_id), "_manifest.json")
+
+    @staticmethod
+    def snapshot_id(stage: str, inputs: list[str], config_fingerprint: str) -> str:
+        key = json.dumps([stage, sorted(inputs), config_fingerprint])
+        return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+    # -- core -------------------------------------------------------------
+    def is_committed(self, stage: str, snapshot_id: str) -> bool:
+        return os.path.exists(self._manifest_path(stage, snapshot_id))
+
+    def read(self, stage: str, snapshot_id: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._stage_dir(stage, snapshot_id), "data"))
+
+    def read_manifest(self, stage: str, snapshot_id: str) -> Manifest:
+        with open(self._manifest_path(stage, snapshot_id)) as f:
+            return Manifest(**json.load(f))
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        inputs: list[str],
+        config_fingerprint: str = "",
+        partition_by: str | None = None,
+    ) -> tuple[DataFrame, Manifest]:
+        """Write a stage table + manifest atomically (temp dir → rename)."""
+        snap = self.snapshot_id(stage, inputs, config_fingerprint)
+        final_dir = self._stage_dir(stage, snap)
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        data_dir = os.path.join(tmp_dir, "data")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(data_dir)
+
+        written = self.spark.read.parquet(data_dir)
+        # per-partition lineage/metrics (A5 analog: the reference prints
+        # per-stage counts; we persist them per partition for resume audits)
+        pc_rows = (
+            written.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        manifest = Manifest(
+            stage=stage,
+            snapshot_id=snap,
+            row_count=sum(r["count"] for r in pc_rows),
+            partition_counts={str(r["pid"]): r["count"] for r in pc_rows},
+            inputs=inputs,
+            config_fingerprint=config_fingerprint,
+            committed_at=time.time(),
+        )
+        with open(os.path.join(tmp_dir, "_manifest.json"), "w") as f:
+            f.write(manifest.to_json())
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        os.rename(tmp_dir, final_dir)
+        return self.read(stage, snap), manifest
+
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        inputs: list[str],
+        config_fingerprint: str = "",
+    ) -> tuple[DataFrame, Manifest]:
+        """Compute-or-resume: skip ``fn`` entirely when this (stage,
+        inputs, config) snapshot is already committed."""
+        snap = self.snapshot_id(stage, inputs, config_fingerprint)
+        if self.is_committed(stage, snap):
+            return self.read(stage, snap), self.read_manifest(stage, snap)
+        return self.write(stage, fn(), inputs, config_fingerprint)

@@ -1,0 +1,88 @@
+"""Stage 3 tests: pair generation, marker insertion, chunked
+classification, logit aggregation vs oracle; end-to-end triples."""
+
+from __future__ import annotations
+
+import pytest
+
+from bionext_spark import kernels as K
+from bionext_spark import oracle, synth
+from bionext_spark.adapters import StubEncoder, StubLexiconTagger
+from bionext_spark.operators.assemble import assemble_conversations
+from bionext_spark.operators.extraction import run_extractor
+from bionext_spark.operators.linking import run_cleaner, run_linker
+from bionext_spark.operators.pairs import run_pair_generation
+from bionext_spark.operators.tagging import run_tagger
+from bionext_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def oracle_out(transcripts_rows):
+    lex = oracle.Lexicons(
+        synth.lexicon_concepts_rows(),
+        [{**r, "rank": i} for i, r in enumerate(synth.lexicon_genes_rows())],
+        synth.train_direct_rows(),
+        synth.lexicon_variants_rows(),
+    )
+    return oracle.run_pipeline(
+        transcripts_rows, lex, K.build_tag_lexicon(synth.tag_lexicon_entries())
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_stages(spark, transcripts):
+    convs = assemble_conversations(transcripts)
+    mentions = run_tagger(convs, StubLexiconTagger(synth.tag_lexicon_entries()))
+    links = run_linker(
+        spark,
+        mentions,
+        fixtures.train_direct_df(spark),
+        fixtures.lexicon_concepts_df(spark),
+        fixtures.lexicon_genes_df(spark),
+        fixtures.lexicon_variants_df(spark),
+        StubEncoder(),
+    )
+    cleaned = run_cleaner(links).cache()
+    pairs = run_pair_generation(cleaned, convs).cache()
+    return convs, cleaned, pairs
+
+
+def test_pairs_match_oracle(spark_stages, oracle_out):
+    _, _, pairs = spark_stages
+    got = sorted(
+        (r["conv_id"], r["e1_id"], r["e1_type"], r["e2_id"], r["e2_type"], r["marked_text"])
+        for r in pairs.collect()
+    )
+    exp = sorted(
+        (p["conv_id"], p["e1_id"], p["e1_type"], p["e2_id"], p["e2_type"], p["marked_text"])
+        for p in oracle_out["pairs"]
+    )
+    assert len(exp) > 20
+    assert got == exp
+
+
+def test_triples_match_oracle(spark_stages, oracle_out):
+    _, _, pairs = spark_stages
+    got = sorted(
+        (r["conv_id"], r["subj"], r["pred"], r["obj"], r["novel"])
+        for r in run_extractor(pairs).collect()
+    )
+    exp = sorted(
+        (t["conv_id"], t["subj"], t["pred"], t["obj"], t["novel"])
+        for t in oracle_out["triples"]
+    )
+    assert len(exp) > 10
+    # composite ids actually exploded somewhere (J7)
+    assert got == exp
+
+
+def test_marker_insertion_kernel():
+    text = "aspirin helps diabetes in human trials"
+    marked = K.insert_markers(text, [(0, 7)], [(14, 22)])
+    assert marked == "[s1]aspirin[e1] helps [s2]diabetes[e2] in human trials"
+
+
+def test_chunking_right_aligned_last():
+    # 10 tokens, chunk 4 → [0:4],[4:8],[6:10] (last right-aligned,
+    # reference extractor/data.py:359)
+    assert K.chunk_ranges(10, 4) == [(0, 4), (4, 8), (6, 10)]
