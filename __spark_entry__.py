@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (full KG pipeline over transcripts
+derived from the events table, → top co-mentioned triples).
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 plus the training-data ops; each SQL-expressible one has a
+DuckDB oracle with matching column names. ``kg_pipeline_triples`` is the
+one non-SQL-expressible entry (pandas-UDF model kernels inside) — its
+correctness gate is the pure-Python oracle in tests/ instead.
 """
 
 from __future__ import annotations
@@ -13,26 +15,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bionext_spark.corpus_queries import CORPUS
+from bionext_spark.entry_queries import RELATIONAL
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from bionext_spark.flagship import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bionext_spark.flagship import run_kg_pipeline
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in {**RELATIONAL, **CORPUS}.items():
+        out[name] = fn
+    out["kg_pipeline_triples"] = run_kg_pipeline  # non-SQL-expressible (UDF kernels)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (fn, sql) in {**RELATIONAL, **CORPUS}.items() if sql is not None
+    }

@@ -1,0 +1,510 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+First-class large-scale corpus ops (deduplication, similarity search,
+text analysis) expressed Spark-first with DuckDB oracle SQL. All outputs
+are engine-portable values: integers, strings, and rationals/fixed-grid
+floats both engines compute bit-identically.
+
+Scale notes (these run on 100 TB, the SQL oracle only at sf=0.01):
+* exact dedup: one hash-groupBy on a fingerprint — the canonical shuffle-
+  once pattern.
+* minhash LSH: shingle → per-band min(md5) signature → candidates join
+  on (band, signature) → verify exact jaccard. Candidate set is
+  band-bucket-bounded, never all-pairs.
+* ngram jaccard: the quadratic verify step, bounded to a keyed sample.
+* simhash: token-hash bit-majority folded to a 16-bit signature; pairs
+  within hamming ≤ k join on signature bands.
+* ANN: brute-force cosine top-k as the exact baseline; LSH sign-bucket
+  variant as the scale path (hyperplanes = fixed rows of the table, so
+  both engines agree without a RNG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bionext_spark.entry_queries import t
+
+# ---------------------------------------------------------------------------
+# Deduplication.
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on normalized text; keeper = min doc_id."""
+    d = t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_EXPR = (
+    "transform(sequence(1, greatest(1, length(text) - {k} + 1)), i -> substring(text, i, {k}))"
+)
+
+
+def _shingles(d: DataFrame, k: int = 8) -> DataFrame:
+    return d.select(
+        "doc_id", F.explode_outer(F.expr(_SHINGLE_EXPR.format(k=k))).alias("sh")
+    ).distinct()
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup: 4 bands × 1 hash (min over md5(band||shingle));
+    candidate pairs share ≥1 band signature; verified with exact jaccard
+    over the char-8-gram shingle sets; emit pairs with jaccard ≥ 0.5."""
+    d = t(spark, sf, "documents")
+    sh = _shingles(d).cache()
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat_ws("\x00", F.col("band"), F.col("sh")))).alias("minhash"))
+    )
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "minhash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
+        .join(sh.alias("s2"), (F.col("doc2") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.selectExpr("doc_id as doc1", "n as n1"), "doc1")
+        .join(sizes.selectExpr("doc_id as doc2", "n as n2"), "doc2")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+    )
+    return j.filter(F.col("jaccard") >= 0.5).select("doc1", "doc2", "jaccard")
+
+
+DEDUP_MINHASH_SQL = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - 7))) AS i
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos),
+sig AS (
+  SELECT doc_id, band, min(md5(cast(band AS varchar) || chr(0) || sh)) AS minhash
+  FROM sh, generate_series(0, 3) AS b(band) GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM sig x JOIN sig y ON x.band = y.band AND x.minhash = y.minhash
+                        AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_inter
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.doc1
+              JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sh = s1.sh
+  GROUP BY c.doc1, c.doc2)
+SELECT doc1, doc2, n_inter / (n1.n + n2.n - n_inter) AS jaccard
+FROM inter JOIN sizes n1 ON n1.doc_id = doc1 JOIN sizes n2 ON n2.doc_id = doc2
+WHERE n_inter / (n1.n + n2.n - n_inter) >= 0.5
+"""
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """Word-3-gram jaccard, quadratic exact variant bounded to a sample
+    (doc_id < 100): pairs with jaccard ≥ 0.2."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    words = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, size(ws) - 2)),"
+                " i -> concat_ws(' ', slice(ws, i, 3)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.selectExpr("doc_id as doc1", "n as n1"), "doc1")
+        .join(sizes.selectExpr("doc_id as doc2", "n as n2"), "doc2")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 100),
+posn AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+  FROM words),
+grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM posn),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc1, doc2, n_inter / (n1.n + n2.n - n_inter) AS jaccard
+FROM inter JOIN sizes n1 ON n1.doc_id = doc1 JOIN sizes n2 ON n2.doc_id = doc2
+WHERE n_inter / (n1.n + n2.n - n_inter) >= 0.2
+"""
+
+# 16 hex chars → value, as a portable CASE expression (both engines).
+_HEXCASE = "CASE {c} " + " ".join(
+    f"WHEN '{ch}' THEN {v}" for v, ch in enumerate("0123456789abcdef")
+) + " END"
+
+
+def dedup_simhash(spark, sf):
+    """SimHash: 16-bit signature from the bit-majority of md5(token)
+    prefixes; identical signatures are near-dup candidates."""
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    tok = tok.withColumn("h", F.substring(F.md5("w"), 1, 4))
+    # 4 hex chars → 16 bits; per bit: +1 if set else -1, sum over tokens
+    nib = tok.select(
+        "doc_id",
+        *[
+            F.expr(_HEXCASE.format(c=f"substring(h, {i + 1}, 1)")).alias(f"n{i}")
+            for i in range(4)
+        ],
+    )
+    bit_cols = []
+    for i in range(4):
+        for b in range(4):
+            bit_cols.append(
+                F.sum(
+                    F.when(F.expr(f"int(n{i} / {2 ** (3 - b)}) % 2") == 1, 1).otherwise(-1)
+                ).alias(f"b{i * 4 + b}")
+            )
+    sums = nib.groupBy("doc_id").agg(*bit_cols)
+    sig = sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{k}") > 0, 1).otherwise(0) * (2 ** (15 - k))) for k in range(16)
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+_D_HEX = _HEXCASE.format(c="substr(h, {i}, 1)")
+DEDUP_SIMHASH_SQL = (
+    """
+WITH tok AS (
+  SELECT doc_id, substr(md5(w), 1, 4) AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)),
+nib AS (
+  SELECT doc_id, """
+    + ", ".join(_D_HEX.format(i=i + 1) + f" AS n{i}" for i in range(4))
+    + """
+  FROM tok),
+sums AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (n{i} // {2 ** (3 - b)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i * 4 + b}"
+        for i in range(4)
+        for b in range(4)
+    )
+    + """
+  FROM nib GROUP BY doc_id)
+SELECT doc_id, """
+    + " + ".join(f"(CASE WHEN b{k} > 0 THEN 1 ELSE 0 END) * {2 ** (15 - k)}" for k in range(16))
+    + """ AS simhash
+FROM sums
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN).
+# ---------------------------------------------------------------------------
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (s, v) -> s + v)"
+_NORM = "sqrt(aggregate({a}, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double)))"
+
+
+def ann_topk_cosine(spark, sf):
+    """Exact brute-force cosine top-10 vs the vec_id=0 query vector.
+    Output = (vec_id, rnk) — ranks only, float-free across engines."""
+    em = t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = em.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            F.expr(_DOT.format(a="embedding", b="qv"))
+            / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+        ).alias("cos"),
+    )
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 10).select(
+        "vec_id", "rnk"
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding, qv)
+           / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, rnk FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= 10
+"""
+
+
+def ann_lsh_bucket(spark, sf):
+    """LSH scale path: 4 sign-bit hyperplane bucket (hyperplanes = rows
+    vec_id 1..4), search only the query's bucket, top-5 by cosine."""
+    em = t(spark, sf, "embeddings")
+    planes = em.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv")
+    )
+    sig = (
+        em.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "embedding",
+            "plane_id",
+            F.when(F.expr(_DOT.format(a="embedding", b="pv")) >= 0, 1).otherwise(0).alias("bit"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(
+            F.sum(F.col("bit") * F.pow(F.lit(2), 4 - F.col("plane_id")).cast("long")).alias("bucket")
+        )
+    )
+    qb = sig.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            (
+                F.expr(_DOT.format(a="embedding", b="qv"))
+                / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5).select(
+        "vec_id", "rnk"
+    )
+
+
+ANN_LSH_SQL = """
+WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+sig AS (
+  SELECT e.vec_id, e.embedding,
+         sum((CASE WHEN list_dot_product(e.embedding, p.pv) >= 0 THEN 1 ELSE 0 END)
+             * (2 ** (4 - p.plane_id))) AS bucket
+  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+qb AS (SELECT bucket AS qbucket, embedding AS qv FROM sig WHERE vec_id = 0),
+scored AS (
+  SELECT s.vec_id,
+         list_dot_product(s.embedding, qv)
+           / (sqrt(list_dot_product(s.embedding, s.embedding)) * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM sig s, qb WHERE s.bucket = qbucket AND s.vec_id <> 0)
+SELECT vec_id, rnk FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup: top-20 most-similar vector pairs within a keyed
+    sample (vec_id % 5 = 0); rank output."""
+    em = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = em.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = em.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2")).select(
+        "v1",
+        "v2",
+        (
+            F.expr(_DOT.format(a="e1", b="e2"))
+            / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
+        ).alias("cos"),
+    )
+    w = Window.orderBy(F.desc("cos"), "v1", "v2")
+    return pairs.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 20).select(
+        "v1", "v2", "rnk"
+    )
+
+
+DEDUP_EMB_SQL = """
+WITH sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_dot_product(a.embedding, b.embedding)
+           / (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id)
+SELECT v1, v2, rnk FROM (
+  SELECT v1, v2, row_number() OVER (ORDER BY cos DESC, v1, v2) AS rnk FROM pairs)
+WHERE rnk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "value")
+
+
+def text_stats(spark, sf):
+    """Token counting + quality scoring + language-ID heuristic (stopword
+    hit-rate) + punctuation ratio."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct-hit heuristic
+    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_stop.cast("long").alias("n_stopword_types"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.5).alias("quality"),
+        F.when(n_stop >= 2, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+feat AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         len(list_intersect(toks, {list(_STOPWORDS)})) AS n_stopword_types,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM base)
+SELECT doc_id, n_tokens, length(text) AS n_chars, n_stopword_types,
+       CAST(n_stopword_types AS DOUBLE) / n_tokens AS stop_ratio,
+       CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+       (CAST(n_stopword_types AS DOUBLE) / n_tokens) * 0.5
+         + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.5 AS quality,
+       CASE WHEN n_stopword_types >= 2 THEN 'en' ELSE 'other' END AS lang_guess
+FROM feat
+"""
+
+
+def text_fingerprint(spark, sf):
+    """Document fingerprint: min md5 over word-5-gram windows (rolling-
+    hash analog, deterministic and shift-robust)."""
+    d = t(spark, sf, "documents")
+    words = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    return words.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(1, size(ws) - 4)),"
+            " i -> md5(concat_ws(' ', slice(ws, i, 5)))))"
+        ).alias("fingerprint"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+posn AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i
+  FROM words)
+SELECT doc_id, min(md5(array_to_string(ws[i:i+4], ' '))) AS fingerprint
+FROM posn GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG-pipeline analogs on the events table (assembly / pair mask).
+# ---------------------------------------------------------------------------
+
+
+def kg_assemble_events(spark, sf):
+    """W1/F7 analog: per-user ordered event stream assembled to one doc."""
+    e = t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"
+            ),
+            " ",
+        ).alias("doc"),
+        F.count("*").alias("n_events"),
+    )
+
+
+KG_ASSEMBLE_SQL = """
+SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def kg_pair_mask(spark, sf):
+    """J5 analog with a type-compatibility mask: distinct event types per
+    user self-joined under an inline valid-pair table."""
+    e = t(spark, sf, "events").select("user_id", "event_type").distinct()
+    mask = spark.createDataFrame(
+        [("click", "purchase"), ("click", "view"), ("error", "view"), ("purchase", "signup")],
+        "t1 string, t2 string",
+    )
+    a = e.select("user_id", F.col("event_type").alias("t1"))
+    b = e.select("user_id", F.col("event_type").alias("t2"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(F.broadcast(mask), ["t1", "t2"])
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+KG_PAIR_MASK_SQL = """
+WITH types AS (SELECT DISTINCT user_id, event_type FROM events),
+mask(t1, t2) AS (VALUES ('click', 'purchase'), ('click', 'view'),
+                        ('error', 'view'), ('purchase', 'signup'))
+SELECT a.event_type AS t1, b.event_type AS t2, count(DISTINCT a.user_id) AS n_users
+FROM types a JOIN types b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN mask ON mask.t1 = a.event_type AND mask.t2 = b.event_type
+GROUP BY 1, 2
+"""
+
+
+CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "ann_topk_cosine": (ann_topk_cosine, ANN_TOPK_SQL),
+    "ann_lsh_bucket": (ann_lsh_bucket, ANN_LSH_SQL),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "kg_assemble_events": (kg_assemble_events, KG_ASSEMBLE_SQL),
+    "kg_pair_mask": (kg_pair_mask, KG_PAIR_MASK_SQL),
+}

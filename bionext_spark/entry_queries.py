@@ -29,6 +29,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch(col):
+    """Seconds-with-fraction epoch of a (NTZ) timestamp under the UTC
+    session timezone — matches DuckDB's epoch() on naive timestamps."""
+    return col.cast("timestamp").cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Relational core (scan/filter/agg/join/sort/limit) — S1/P*/A5 analogs.
 # ---------------------------------------------------------------------------
@@ -139,7 +145,7 @@ def j4_nearest_event(spark, sf):
     o = t(spark, sf, "orders").filter(F.col("o_custkey") < 150)
     e = t(spark, sf, "events")
     j = o.join(e, o.o_custkey == e.user_id)
-    d = F.abs(F.col("ts").cast("double") - F.col("o_orderdate").cast("double"))
+    d = F.abs(_epoch(F.col("ts")) - _epoch(F.col("o_orderdate")))
     return j.groupBy("o_orderkey").agg(
         F.min_by("event_id", F.struct(d.alias("d"), F.col("event_id"))).alias("event_id")
     )
@@ -221,16 +227,18 @@ def a2_softmax_argmax(spark, sf):
     ).withColumn("p", F.col("num") / F.col("den"))
     sums = ex.groupBy("label", "pos").agg(F.sum("p").alias("s"))
     return sums.groupBy("label").agg(
-        F.min_by("pos", F.struct((-F.col("s")).alias("ns"), F.col("pos"))).alias("argmax_pos")
+        F.min_by("pos", F.struct((-F.col("s")).alias("ns"), F.col("pos"))).cast("long").alias("argmax_pos")
     )
 
 
 A2_SQL = """
-WITH ex AS (
+WITH idx AS (
+  SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+ex AS (
   SELECT label, i - 1 AS pos,
          exp(embedding[i]) / list_sum(list_transform(embedding, x -> exp(x))) AS p
-  FROM embeddings, generate_series(1, len(embedding)) AS t(i)
-)
+  FROM idx)
 SELECT label, pos AS argmax_pos FROM (
   SELECT label, pos, row_number() OVER (PARTITION BY label ORDER BY sum(p) DESC, pos) AS rn
   FROM ex GROUP BY label, pos
@@ -292,7 +300,7 @@ def p2_filter_renumber(spark, sf):
     e = t(spark, sf, "events").filter(F.col("value") > 50)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
-        "user_id", "event_id", (F.row_number().over(w) - 1).alias("new_id")
+        "user_id", "event_id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
     )
 
 
@@ -315,6 +323,8 @@ def w1_ordered_reassembly(spark, sf):
         .agg(
             F.array_join(
                 F.expr(
+                    # sort by (linenumber, flag): linenumbers may repeat, so
+                    # the flag itself is the deterministic tie-break
                     "transform(array_sort(collect_list(struct(l_linenumber, l_returnflag))), x -> x.l_returnflag)"
                 ),
                 "",
@@ -325,7 +335,8 @@ def w1_ordered_reassembly(spark, sf):
 
 
 W1_SQL = """
-SELECT l_orderkey, string_agg(l_returnflag, '' ORDER BY l_linenumber) AS flags,
+SELECT l_orderkey,
+       string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags,
        count(*) AS n_lines
 FROM lineitem GROUP BY l_orderkey
 """
@@ -335,7 +346,7 @@ def w8_topk_per_group(spark, sf):
     p = t(spark, sf, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
     return (
-        p.withColumn("rnk", F.row_number().over(w))
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("p_brand", "p_partkey", "rnk")
     )
@@ -385,7 +396,7 @@ def f_scalar_chain(spark, sf):
         "p_partkey",
         F.lower("p_name").alias("name_lower"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_replace(F.lower("p_name"), r"[aeiou]", "_").alias("devoweled"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.md5(F.col("p_name")).alias("name_md5"),
@@ -411,7 +422,7 @@ FROM part
 def sessionize(spark, sf):
     e = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = _epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)
     flagged = e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     sess = flagged.withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     per_sess = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n"))

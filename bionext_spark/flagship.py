@@ -1,0 +1,85 @@
+"""Flagship query: full KG pipeline over transcripts derived from the
+driver's events table, ending in top co-mentioned entity pairs.
+
+``derive_transcripts`` maps events deterministically into the
+input_hint transcript shape (conv = user, turn order = (ts, event_id),
+turn text templated from event_type with planted lexicon mentions), so
+the whole tagger→linker→extractor engine runs on driver-provided data
+with zero randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bionext_spark import synth
+from bionext_spark.adapters import StubEncoder, StubLexiconTagger
+from bionext_spark.config import DEFAULT_CONFIG
+from bionext_spark.operators.assemble import assemble_conversations
+from bionext_spark.operators.extraction import run_extractor
+from bionext_spark.operators.linking import run_cleaner, run_linker
+from bionext_spark.operators.pairs import run_pair_generation
+from bionext_spark.operators.tagging import run_tagger
+from bionext_spark.sources import fixtures
+
+_TURN_TEXT = {
+    "click": "the patient took aspirin for diabetes today",
+    "view": "human tp53 expression was studied in hela cells",
+    "purchase": "mouse brca1 carried the rs12345 variant",
+    "error": "caffeine worsened migraine in zebrafish",
+    "signup": "salt and nacl combo drug helped neuropathy",
+}
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    text = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _TURN_TEXT.items() for x in kv]), F.col("event_type")
+    )
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    return e.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "ts",
+        F.coalesce(text, F.lit("no entities here")).alias("text"),
+        F.col("event_type").alias("tool"),
+    ).withColumn("role", roles[F.col("turn_idx") % 3]).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def run_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events-derived transcripts → triples (full engine, stub adapters)."""
+    cfg = DEFAULT_CONFIG
+    transcripts = derive_transcripts(spark, sf_dir)
+    # conversations feed the tagger, the decode join, and pair marking —
+    # materialize once (parquet stage tables play this role in pipeline.run)
+    convs = assemble_conversations(transcripts).cache()
+    mentions = run_tagger(convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg)
+    links = run_linker(
+        spark,
+        mentions,
+        fixtures.train_direct_df(spark),
+        fixtures.lexicon_concepts_df(spark),
+        fixtures.lexicon_genes_df(spark),
+        fixtures.lexicon_variants_df(spark),
+        StubEncoder(cfg.embedding_dim),
+        cfg,
+    )
+    cleaned = run_cleaner(links).cache()  # feeds pair-gen AND marker join
+    pairs = run_pair_generation(cleaned, convs, cfg)
+    return run_extractor(pairs, None, cfg)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-mentioned (subj, pred, obj) triples by conversation count."""
+    triples = run_kg_pipeline(spark, sf_dir)
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.countDistinct("conv_id").alias("n_conversations"))
+        .orderBy(F.desc("n_conversations"), "subj", "pred", "obj")
+        .limit(50)
+    )

@@ -306,9 +306,13 @@ def run_linker(
     """mentions → LINKS (same rows + linked_id/method; '-' = unlinked)."""
     encoder = encoder or StubEncoder(cfg.embedding_dim)
 
+    # The mention table fans out into six cascade branches; materialize it
+    # once (on a cluster this is the checkpointed `mentions` stage table).
+    mentions = mentions.cache()
+
     tax = majority_vote(
         _taxonomy_cands(mentions, train_direct, lexicon_concepts), TAXONOMY_ID_CORRECTIONS
-    )
+    ).cache()  # reused as gene-linking anchors and in the winner union
     linked_orgs = (
         mentions.filter(F.col("label") == "OrganismTaxon")
         .select("conv_id", "mention_id", F.col("start").alias("org_start"))

@@ -1,0 +1,61 @@
+"""StageCatalog: snapshot manifests, lineage, idempotent resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bionext_spark.sources.catalog import StageCatalog
+
+
+def test_write_and_manifest(spark, tmp_path):
+    cat = StageCatalog(spark, str(tmp_path))
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out, m = cat.write("stage_a", df, inputs=["input"], config_fingerprint="cfg1")
+    assert m.row_count == 100
+    assert sum(m.partition_counts.values()) == 100
+    assert out.count() == 100
+
+
+def test_resume_skips_recompute(spark, tmp_path):
+    cat = StageCatalog(spark, str(tmp_path))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(10)
+
+    df1, m1 = cat.run_stage("s", compute, ["in"], "cfg")
+    df2, m2 = cat.run_stage("s", compute, ["in"], "cfg")
+    assert calls["n"] == 1  # second run resumed from the committed snapshot
+    assert m1.snapshot_id == m2.snapshot_id
+    assert sorted(r["id"] for r in df2.collect()) == list(range(10))
+
+
+def test_changed_inputs_recompute(spark, tmp_path):
+    cat = StageCatalog(spark, str(tmp_path))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(5)
+
+    _, m1 = cat.run_stage("s", compute, ["in1"], "cfg")
+    _, m2 = cat.run_stage("s", compute, ["in2"], "cfg")
+    assert calls["n"] == 2
+    assert m1.snapshot_id != m2.snapshot_id
+
+
+def test_pipeline_end_to_end_resume(spark, transcripts, tmp_path):
+    from bionext_spark import pipeline as P
+
+    r1 = P.run(spark, transcripts, str(tmp_path))
+    t1 = sorted(tuple(r) for r in r1.triples.collect())
+    # second run: every stage resumes from snapshots, outputs identical
+    r2 = P.run(spark, transcripts, str(tmp_path))
+    t2 = sorted(tuple(r) for r in r2.triples.collect())
+    assert t1 == t2
+    assert len(t1) > 10
+    assert r1.manifests["triples"].snapshot_id == r2.manifests["triples"].snapshot_id
+    # lineage recorded for every stage
+    for name, m in r1.manifests.items():
+        assert m.row_count >= 0 and isinstance(m.partition_counts, dict), name
