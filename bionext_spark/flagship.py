@@ -55,10 +55,13 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events-derived transcripts → triples (full engine, stub adapters)."""
     cfg = DEFAULT_CONFIG
     transcripts = derive_transcripts(spark, sf_dir)
-    # conversations feed the tagger, the decode join, and pair marking —
-    # materialize once (parquet stage tables play this role in pipeline.run)
-    convs = assemble_conversations(transcripts).cache()
-    mentions = run_tagger(convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg)
+    # Stage boundaries materialize with localCheckpoint: it both caches the
+    # rows AND truncates the logical plan. Without truncation the chained
+    # plan grows to hundreds of operators and Catalyst's per-query analysis
+    # dominates wall time (in pipeline.run the parquet stage tables provide
+    # the same cut durably).
+    convs = assemble_conversations(transcripts).localCheckpoint()
+    mentions = run_tagger(convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg).localCheckpoint()
     links = run_linker(
         spark,
         mentions,
@@ -69,8 +72,8 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         StubEncoder(cfg.embedding_dim),
         cfg,
     )
-    cleaned = run_cleaner(links).cache()  # feeds pair-gen AND marker join
-    pairs = run_pair_generation(cleaned, convs, cfg)
+    cleaned = run_cleaner(links).localCheckpoint()  # feeds pair-gen AND marker join
+    pairs = run_pair_generation(cleaned, convs, cfg).localCheckpoint()
     return run_extractor(pairs, None, cfg)
 
 

@@ -16,14 +16,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assemble_conversations(transcripts: DataFrame) -> DataFrame:
+def assemble_conversations(transcripts: DataFrame, segment_size: int = 0) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) → CONVERSATIONS schema.
 
     The single groupBy(conv_id) shuffle here establishes the partitioning
     every later per-conversation stage reuses.
-    """
-    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
-    df = transcripts.groupBy("conv_id").agg(ordered.alias("turns"))
+
+    ``segment_size > 0`` enables the **salted two-phase** variant for
+    skewed inputs (north-rule requirement): turns first combine into
+    ordered segments keyed by (conv_id, turn_idx div segment_size) — a
+    salt that spreads a 10^6-turn conversation over many reducers — then
+    a second, much smaller shuffle concatenates the segments. Output is
+    identical to the one-phase plan (tested)."""
+    if segment_size > 0:
+        seg = (
+            transcripts.groupBy(
+                "conv_id", (F.col("turn_idx") / segment_size).cast("int").alias("seg_id")
+            )
+            .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("seg_turns"))
+        )
+        df = (
+            seg.groupBy("conv_id")
+            .agg(
+                F.flatten(
+                    F.expr("transform(array_sort(collect_list(struct(seg_id, seg_turns))), x -> x.seg_turns)")
+                ).alias("turns")
+            )
+        )
+    else:
+        ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+        df = transcripts.groupBy("conv_id").agg(ordered.alias("turns"))
     texts = F.col("turns.text")
     return df.select(
         "conv_id",

@@ -19,6 +19,13 @@ def test_assembly_matches_oracle(spark, transcripts, transcripts_rows):
         assert g["turn_lengths"] == e["turn_lengths"]
 
 
+def test_two_phase_salted_assembly_equals_one_phase(spark, transcripts):
+    """Skew path: salted segment assembly must be output-identical."""
+    one = sorted(tuple(r) for r in assemble_conversations(transcripts).collect())
+    two = sorted(tuple(r) for r in assemble_conversations(transcripts, segment_size=7).collect())
+    assert one == two
+
+
 def test_per_turn_text_equality(spark, transcripts, transcripts_rows):
     """Slicing the assembled doc back by turn offsets reproduces every
     original turn text exactly (stable turn ordering invariant)."""
