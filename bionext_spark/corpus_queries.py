@@ -63,16 +63,28 @@ def _shingles(d: DataFrame, k: int = 8) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup: 4 bands × 1 hash (min over md5(band||shingle));
-    candidate pairs share ≥1 band signature; verified with exact jaccard
-    over the char-8-gram shingle sets; emit pairs with jaccard ≥ 0.5."""
+    """MinHash+LSH near-dup: 4 bands × 2 minhashes (min over
+    md5(hash_id||shingle), band signature = the two minima joined).
+    Single-hash bands collapse when documents share a small vocabulary —
+    the globally minimal shingle lands in thousands of docs and the
+    candidate bucket goes quadratic; two minima per band keep buckets
+    selective. Candidates sharing ≥1 band signature are verified with
+    exact jaccard over the char-8-gram shingle sets; emit jaccard ≥ 0.5."""
     d = t(spark, sf, "documents")
     sh = _shingles(d).cache()
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat_ws("\x00", F.col("band"), F.col("sh")))).alias("minhash"))
+    # all 8 minima in ONE aggregation (map-side partial combine shrinks the
+    # shuffle from |shingles|×8 rows to |docs| rows of 8 digests)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("\x00", F.lit(str(h)), F.col("sh")))).alias(f"mh{h}")
+            for h in range(8)
+        ]
+    )
+    sig = per_doc.selectExpr(
+        "doc_id",
+        "stack(4, "
+        + ", ".join(f"{b}, concat(mh{2 * b}, '|', mh{2 * b + 1})" for b in range(4))
+        + ") as (band, minhash)",
     )
     cand = (
         sig.alias("x")
@@ -102,9 +114,18 @@ WITH pos AS (
          unnest(generate_series(1, greatest(1, length(text) - 7))) AS i
   FROM documents),
 sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos),
+per_doc AS (
+  SELECT doc_id,
+         min(md5('0' || chr(0) || sh)) AS mh0, min(md5('1' || chr(0) || sh)) AS mh1,
+         min(md5('2' || chr(0) || sh)) AS mh2, min(md5('3' || chr(0) || sh)) AS mh3,
+         min(md5('4' || chr(0) || sh)) AS mh4, min(md5('5' || chr(0) || sh)) AS mh5,
+         min(md5('6' || chr(0) || sh)) AS mh6, min(md5('7' || chr(0) || sh)) AS mh7
+  FROM sh GROUP BY doc_id),
 sig AS (
-  SELECT doc_id, band, min(md5(cast(band AS varchar) || chr(0) || sh)) AS minhash
-  FROM sh, generate_series(0, 3) AS b(band) GROUP BY doc_id, band),
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS minhash FROM per_doc
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM per_doc
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM per_doc
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM per_doc),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
   FROM sig x JOIN sig y ON x.band = y.band AND x.minhash = y.minhash

@@ -18,9 +18,9 @@ from bionext_spark import synth
 from bionext_spark.adapters import StubEncoder, StubLexiconTagger
 from bionext_spark.config import DEFAULT_CONFIG
 from bionext_spark.operators.assemble import assemble_conversations
-from bionext_spark.operators.extraction import run_extractor
+from bionext_spark.operators.extraction import aggregate_triples, classify_pair_spans
 from bionext_spark.operators.linking import run_cleaner, run_linker
-from bionext_spark.operators.pairs import run_pair_generation
+from bionext_spark.operators.pairs import generate_pairs, pair_spans
 from bionext_spark.operators.tagging import run_tagger
 from bionext_spark.sources import fixtures
 
@@ -33,8 +33,16 @@ _TURN_TEXT = {
 }
 
 
-def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derive_transcripts(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """events → transcripts. ``replicate`` clones the event stream into k
+    disjoint user universes (deterministic) — used by the scaling bench to
+    make compute dominate the fixed per-job planning cost."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        e = e.crossJoin(F.broadcast(reps)).withColumn(
+            "user_id", F.col("user_id") + F.col("rep") * 10_000_000
+        ).drop("rep")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     text = F.element_at(
         F.create_map(*[F.lit(x) for kv in _TURN_TEXT.items() for x in kv]), F.col("event_type")
@@ -51,10 +59,10 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """events-derived transcripts → triples (full engine, stub adapters)."""
     cfg = DEFAULT_CONFIG
-    transcripts = derive_transcripts(spark, sf_dir)
+    transcripts = derive_transcripts(spark, sf_dir, replicate)
     # Stage boundaries materialize with localCheckpoint: it both caches the
     # rows AND truncates the logical plan. Without truncation the chained
     # plan grows to hundreds of operators and Catalyst's per-query analysis
@@ -72,9 +80,14 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         StubEncoder(cfg.embedding_dim),
         cfg,
     )
-    cleaned = run_cleaner(links).localCheckpoint()  # feeds pair-gen AND marker join
-    pairs = run_pair_generation(cleaned, convs, cfg).localCheckpoint()
-    return run_extractor(pairs, None, cfg)
+    # cache (not localCheckpoint): the cleaner's row_number window leaves
+    # the rows hash(conv_id)-partitioned, and keeping that knowledge in the
+    # plan lets the whole pair-generation chain (distinct, self-join, cap
+    # window, part join, span groupBys) run shuffle-free on it.
+    cleaned = run_cleaner(links).cache()
+    spans = pair_spans(generate_pairs(cleaned, cfg), cleaned)
+    preds = classify_pair_spans(spans, convs, None, cfg)
+    return aggregate_triples(preds)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

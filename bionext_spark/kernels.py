@@ -261,8 +261,22 @@ def insert_markers(
 ) -> str:
     edits: list[tuple[int, int, str, str]] = [(s, e, "[s1]", "[e1]") for s, e in spans1]
     edits += [(s, e, "[s2]", "[e2]") for s, e in spans2]
+    edits.sort(key=lambda x: (x[0], x[1]))
+    if all(edits[i][1] <= edits[i + 1][0] for i in range(len(edits) - 1)):
+        # disjoint spans (always true post-cleaner): single forward pass,
+        # output identical to the reference's reverse insertion but O(n)
+        # instead of O(len(text) * n_spans)
+        parts: list[str] = []
+        pos = 0
+        for s, e, open_m, close_m in edits:
+            parts += (text[pos:s], open_m, text[s:e], close_m)
+            pos = e
+        parts.append(text[pos:])
+        return "".join(parts)
+    # overlapping spans: faithful reverse-order insertion
+    # (reference src/extractor/data.py:123-126)
     out = text
-    for s, e, open_m, close_m in sorted(edits, key=lambda x: (x[0], x[1]), reverse=True):
+    for s, e, open_m, close_m in reversed(edits):
         out = out[:s] + open_m + out[s:e] + close_m + out[e:]
     return out
 

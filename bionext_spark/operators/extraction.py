@@ -74,7 +74,68 @@ def classify_pairs(
                     out["pred_class"].append(K.argmax_first(rel))
             yield pd.DataFrame(out, columns=list(out.keys()))
 
-    return pairs.mapInPandas(gen, _PRED_SCHEMA)
+    # spread the classification kernel over all cores (see tagging.py note
+    # on AQE coalescing vs CPU-bound kernel stages)
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n).mapInPandas(gen, _PRED_SCHEMA)
+
+
+def classify_pair_spans(
+    spans: DataFrame,  # pairs.pair_spans output: pair cols + spans1/spans2
+    conversations: DataFrame,
+    classifier: RelationAdapter | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Fused J6(W6)+W3+K3: marker insertion, chunking and classification in
+    one cogrouped kernel. Each conversation's doc text ships to Python
+    exactly ONCE (cogroup on conv_id) instead of once per pair — on
+    entity-rich conversations the per-pair marked_text materialization is
+    ~|pairs| × |doc| bytes and dominated the stage otherwise. Output and
+    semantics are identical to classify_pairs(mark_pairs(...)) (tested)."""
+    classifier = classifier or StubRelationClassifier()
+    max_len = cfg.max_seq_len
+
+    def empty_frame() -> pd.DataFrame:
+        # object dtype so Arrow maps empty columns onto the array<double>
+        # fields (a float64 ndarray would fail list<double> conversion)
+        return pd.DataFrame(
+            {k: pd.Series(dtype=object) for k in (
+                "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
+        )
+
+    def per_conv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {k: [] for k in (
+            "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
+        if left.empty or right.empty:
+            return empty_frame()
+        doc = right["doc_text"].iloc[0]
+        e1s, e2s, chunks = [], [], []
+        for _, row in left.iterrows():
+            s1 = [(s["start"], s["end"]) for s in (row["spans1"] if row["spans1"] is not None else [])]
+            s2 = [(s["start"], s["end"]) for s in (row["spans2"] if row["spans2"] is not None else [])]
+            marked = K.insert_markers(doc, s1, s2)
+            for ch in K.chunk_marked_text(marked, max_len, row["e1_id"] != row["e2_id"]):
+                e1s.append(row["e1_id"])
+                e2s.append(row["e2_id"])
+                chunks.append(ch)
+        if e1s:
+            conv = left["conv_id"].iloc[0]
+            for e1, e2, (rel, nov) in zip(e1s, e2s, classifier.classify_batch(e1s, e2s, chunks)):
+                out["conv_id"].append(conv)
+                out["e1_id"].append(e1)
+                out["e2_id"].append(e2)
+                out["rel_softmax"].append(K.softmax(rel))
+                out["novel_raw"].append(list(nov))
+                out["pred_class"].append(K.argmax_first(rel))
+        if not out["conv_id"]:
+            return empty_frame()
+        return pd.DataFrame(out, columns=list(out.keys()))
+
+    return (
+        spans.groupBy("conv_id")
+        .cogroup(conversations.select("conv_id", "doc_text").groupBy("conv_id"))
+        .applyInPandas(lambda left, right: per_conv(left, right), _PRED_SCHEMA)
+    )
 
 
 def aggregate_triples(predictions: DataFrame) -> DataFrame:

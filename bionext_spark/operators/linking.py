@@ -111,26 +111,31 @@ def _collect_kb_matrices(concepts: DataFrame, kbs: list[str]) -> dict[str, tuple
 
 def embedding_lookup(
     spark: SparkSession,
-    texts: DataFrame,  # (text_key [, tax_id])
+    texts: DataFrame,  # carries text_key + the group column
     concepts: DataFrame,
-    kbs: list[str],
+    kbs_by_group: dict[str, list[str]],
     encoder: EncoderAdapter,
     threshold: float,
     per_tax: bool = False,
 ) -> DataFrame:
-    """Encode each distinct text once, match against broadcast KB matrices.
+    """Encode each distinct (group, text) once, match against broadcast KB
+    matrices (J3 + O4). ``kbs_by_group`` maps the group column value
+    (entity label, or taxon in per-tax mode) to its KB files; per-file
+    argmax > threshold, best across files (chemicals.py:71-94).
 
-    Returns (text_key[, tax_id], cand) — ``cand`` is NULL when no KB entry
+    Returns (group_col, text_key, cand) — ``cand`` is NULL when nothing
     clears the threshold, except in per-tax (gene) mode where it is '-'
     (the reference's gene hop *always* answers when the taxon has an
     embedding file, genes.py:146-151)."""
-    matrices = _collect_kb_matrices(concepts, kbs)
-    bc = spark.sparkContext.broadcast(matrices)
-    key_cols = ["text_key", "tax_id"] if per_tax else ["text_key"]
-    out_schema = ("text_key string, tax_id string, cand string" if per_tax else "text_key string, cand string")
+    all_kbs = sorted({kb for kbs in kbs_by_group.values() for kb in kbs})
+    matrices = _collect_kb_matrices(concepts, all_kbs)
+    bc = spark.sparkContext.broadcast((matrices, kbs_by_group))
+    group_col = "tax_id" if per_tax else "label"
+    key_cols = [group_col, "text_key"]
+    out_schema = f"{group_col} string, text_key string, cand string"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mats = bc.value
+        mats, groups = bc.value
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(cand=pd.Series(dtype=object))[key_cols + ["cand"]]
@@ -138,7 +143,7 @@ def embedding_lookup(
             embs = np.array(encoder.encode_batch(list(pdf["text_key"])), dtype=np.float64)
             cands: list[str | None] = []
             for i in range(len(pdf)):
-                wanted = [f"gene_{pdf['tax_id'].iloc[i]}"] if per_tax else sorted(mats.keys())
+                wanted = sorted(groups.get(pdf[group_col].iloc[i], []))
                 best: tuple[float, str] | None = None
                 for kb in wanted:
                     if kb not in mats:
@@ -155,129 +160,91 @@ def embedding_lookup(
 
 
 # ---------------------------------------------------------------------------
-# Per-label cascades.
+# Unified cascade candidate generation.
+#
+# Every *dictionary* hop of every per-label cascade normalizes into one
+# broadcastable candidate-lexicon table
+#     (label, key_kind, text_key, cand, rank, priority)
+# so ALL tax-independent hops resolve in a SINGLE broadcast hash join
+# (the reference runs seven sequential passes; the first engine version
+# ran ~10 broadcast joins — one per hop — which made the DAG latency-
+# bound: ~200 scheduler stages dominated wall time and killed N→4N
+# scaling). Gene hops join a second, taxon-keyed lexicon after the
+# nearest-organism anchor is known. key_kind carries the reference's
+# mixed normalization (taxonomy train memory matches RAW text,
+# taxonomy.py:53; everything else lowercases).
 # ---------------------------------------------------------------------------
 
 
-def _taxonomy_cands(mentions: DataFrame, train: DataFrame, concepts: DataFrame) -> DataFrame:
-    m = mentions.filter(F.col("label") == "OrganismTaxon").select("conv_id", "mention_id", "text")
-    tr = train.filter(F.col("label") == "OrganismTaxon")
-    # raw-text train match (taxonomy.py:53), lowercased KB match (taxonomy.py:56-58)
-    c0 = _cands(m.join(F.broadcast(tr), m.text == tr.text_key), F.col("linked_id"), F.col("rank"), 0)
-    kb = concepts.filter(F.col("kb") == "taxonomy")
-    c1 = _cands(
-        m.join(F.broadcast(kb), F.lower(m.text) == kb.text), F.col("id"), F.col("rank"), 1
+def _dictionary_lexicon(train: DataFrame, concepts: DataFrame, variants: DataFrame) -> DataFrame:
+    """All tax-independent dictionary hops as one lexicon table."""
+    tr = train.filter(F.col("tax_id").isNull()).select(
+        "label",
+        F.when(F.col("label") == "OrganismTaxon", F.lit("raw")).otherwise(F.lit("lower")).alias("key_kind"),
+        F.col("text_key"),
+        F.col("linked_id").alias("cand"),
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(0).alias("priority"),
     )
-    return c0.unionByName(c1)
+    tax_kb = concepts.filter(F.col("kb") == "taxonomy").select(
+        F.lit("OrganismTaxon").alias("label"),
+        F.lit("lower").alias("key_kind"),
+        F.col("text").alias("text_key"),
+        F.col("id").alias("cand"),
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(1).alias("priority"),
+    )
+    var_kb = variants.select(
+        F.lit("SequenceVariant").alias("label"),
+        F.lit("lower").alias("key_kind"),
+        F.col("mention").alias("text_key"),
+        F.col("identifier").alias("cand"),
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(2).alias("priority"),
+    )
+    return tr.unionByName(tax_kb).unionByName(var_kb)
 
 
-def _flat_cascade_cands(
-    spark: SparkSession,
-    mentions: DataFrame,
-    train: DataFrame,
-    concepts: DataFrame,
-    label: str,
-    kbs: list[str],
-    encoder: EncoderAdapter,
-    cfg: PipelineConfig,
+def _gene_lexicon(train: DataFrame, genes_kb: DataFrame) -> DataFrame:
+    """Taxon-keyed gene hops: train memory (genes.py:36-53), per-taxon KB
+    (genes.py:141-144), all-taxa backup (genes.py:153-156, tax_id NULL)."""
+    tr = train.filter(
+        (F.col("label") == "GeneOrGeneProduct") & F.col("tax_id").isNotNull()
+    ).select("tax_id", "text_key", F.col("linked_id").alias("cand"), F.col("rank").cast("long").alias("rank"), F.lit(0).alias("priority"))
+    kb = (
+        genes_kb.groupBy("tax_id", F.col("alias").alias("text_key"), "gene_id")
+        .agg(F.min("rank").cast("long").alias("rank"))
+        .select("tax_id", "text_key", F.col("gene_id").alias("cand"), "rank", F.lit(1).alias("priority"))
+    )
+    backup = (
+        genes_kb.groupBy(F.col("alias").alias("text_key"), "gene_id")
+        .agg(F.min("rank").cast("long").alias("rank"))
+        .select(F.lit(None).cast("string").alias("tax_id"), "text_key", F.col("gene_id").alias("cand"), "rank", F.lit(3).alias("priority"))
+    )
+    return tr.unionByName(kb).unionByName(backup)
+
+
+def _nearest_org_anchor(
+    m_gene: DataFrame, linked_orgs: DataFrame, genes_kb: DataFrame
 ) -> DataFrame:
-    """Chemicals / diseases / cells: train memory → embedding similarity
-    (chemicals.py:96-111; same shape diseases.py, cells.py)."""
-    m = (
-        mentions.filter(F.col("label") == label)
-        .select("conv_id", "mention_id", F.lower("text").alias("text_key"))
-    )
-    tr = train.filter(F.col("label") == label)
-    c0 = _cands(m.join(F.broadcast(tr), "text_key"), F.col("linked_id"), F.col("rank"), 0)
-    # O3+O4: only mentions the train hop missed reach the encoder, each
-    # distinct lowercased text encoded once.
-    unmatched = m.join(tr.select("text_key").distinct(), "text_key", "left_anti")
-    emb = embedding_lookup(
-        spark, unmatched, concepts, kbs, encoder, cfg.similarity_threshold
-    ).filter(F.col("cand").isNotNull())
-    c1 = _cands(unmatched.join(emb, "text_key"), F.col("cand"), F.lit(0), 1)
-    return c0.unionByName(c1)
-
-
-def _gene_cands(
-    spark: SparkSession,
-    mentions: DataFrame,
-    linked_orgs: DataFrame,  # (conv_id, org_tax, org_start)
-    train: DataFrame,
-    genes_kb: DataFrame,
-    concepts: DataFrame,
-    encoder: EncoderAdapter,
-    cfg: PipelineConfig,
-) -> DataFrame:
-    m = mentions.filter(F.col("label") == "GeneOrGeneProduct").select(
-        "conv_id", "mention_id", "start", F.lower("text").alias("text_key")
-    )
-    # J4 nearest organism anchor: only organisms whose taxon exists in the
-    # gene KB count (genes.py:127 `org[0] in genes.keys()`).
+    """J4 — nearest linked organism whose taxon exists in the gene KB
+    (strict < keeps the earliest organism on distance ties,
+    genes.py:107-130); default '9606' when none."""
     known_taxa = genes_kb.select(F.col("tax_id").alias("org_tax")).distinct()
     anchors = linked_orgs.join(F.broadcast(known_taxa), "org_tax")
     nearest = (
-        m.join(anchors, "conv_id")
+        m_gene.join(anchors, "conv_id")
         .groupBy("conv_id", "mention_id")
         .agg(
             F.min_by(
-                "org_tax", F.struct(F.abs(F.col("start") - F.col("org_start")).alias("d"), F.col("org_start"))
+                "org_tax",
+                F.struct(F.abs(F.col("start") - F.col("org_start")).alias("d"), F.col("org_start")),
             ).alias("tax_id")
         )
     )
-    m = m.join(nearest, ["conv_id", "mention_id"], "left").withColumn(
+    return m_gene.join(nearest, ["conv_id", "mention_id"], "left").withColumn(
         "tax_id", F.coalesce("tax_id", F.lit(DEFAULT_TAX_ID))
     )
-
-    tr = train.filter(F.col("label") == "GeneOrGeneProduct").select(
-        "tax_id", "text_key", "linked_id", "rank"
-    )
-    c0 = _cands(m.join(F.broadcast(tr), ["tax_id", "text_key"]), F.col("linked_id"), F.col("rank"), 0)
-
-    kb = genes_kb.groupBy("tax_id", F.col("alias").alias("text_key"), "gene_id").agg(
-        F.min("rank").alias("rank")
-    )
-    c1 = _cands(m.join(F.broadcast(kb), ["tax_id", "text_key"]), F.col("gene_id"), F.col("rank"), 1)
-
-    # Embedding hop: only for taxa that have an embedding KB; always
-    # answers ('-' below threshold), short-circuiting the backup hop.
-    emb_taxa = [
-        r["kb"].removeprefix("gene_")
-        for r in concepts.filter(F.col("kb").startswith("gene_") & F.col("embedding").isNotNull())
-        .select("kb").distinct().collect()
-    ]
-    m_emb = m.filter(F.col("tax_id").isin(emb_taxa))
-    emb = embedding_lookup(
-        spark,
-        m_emb,
-        concepts,
-        [f"gene_{t}" for t in emb_taxa],
-        encoder,
-        cfg.similarity_threshold,
-        per_tax=True,
-    )
-    c2 = _cands(m_emb.join(emb, ["text_key", "tax_id"]), F.col("cand"), F.lit(0), 2)
-
-    backup = genes_kb.groupBy(F.col("alias").alias("text_key"), "gene_id").agg(F.min("rank").alias("rank"))
-    c3 = _cands(m.join(F.broadcast(backup), "text_key"), F.col("gene_id"), F.col("rank"), 3)
-
-    return c0.unionByName(c1).unionByName(c2).unionByName(c3)
-
-
-def _variant_cands(mentions: DataFrame, train: DataFrame, variants: DataFrame) -> DataFrame:
-    """Simplified seq-variant cascade: train memory → ``rs`` self-id
-    (seq_variant.py:414-416) → variant lexicon (stand-in for the tmVar
-    TSV + LitVar/LLM adapters, off by default)."""
-    m = mentions.filter(F.col("label") == "SequenceVariant").select(
-        "conv_id", "mention_id", F.lower("text").alias("text_key")
-    )
-    tr = train.filter(F.col("label") == "SequenceVariant")
-    c0 = _cands(m.join(F.broadcast(tr), "text_key"), F.col("linked_id"), F.col("rank"), 0)
-    c1 = _cands(m.filter(F.col("text_key").startswith("rs")), F.col("text_key"), F.lit(0), 1)
-    c2 = _cands(
-        m.join(F.broadcast(variants), m.text_key == variants.mention), F.col("identifier"), F.lit(0), 2
-    )
-    return c0.unionByName(c1).unionByName(c2)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +269,12 @@ _METHODS = {
     ("SequenceVariant", 2): "lexicon",
 }
 
+FLAT_EMB_KBS = {
+    "ChemicalEntity": ["mesh"],
+    "DiseaseOrPhenotypicFeature": ["ctd"],
+    "CellLine": ["cellosaurus"],
+}
+
 
 def run_linker(
     spark: SparkSession,
@@ -315,15 +288,47 @@ def run_linker(
 ) -> DataFrame:
     """mentions → LINKS (same rows + linked_id/method; '-' = unlinked)."""
     encoder = encoder or StubEncoder(cfg.embedding_dim)
+    mentions = mentions.cache()  # fans into dict join, anchors, final join
 
-    # The mention table fans out into six cascade branches; materialize it
-    # once (on a cluster this is the checkpointed `mentions` stage table).
-    mentions = mentions.cache()
+    m = mentions.select(
+        "conv_id",
+        "mention_id",
+        "label",
+        "start",
+        # key_kind expansion: organism mentions probe the lexicon under BOTH
+        # raw and lowered keys (taxonomy train memory is raw-keyed)
+        F.explode(
+            F.when(
+                F.col("label") == "OrganismTaxon",
+                F.array(
+                    F.struct(F.lit("raw").alias("key_kind"), F.col("text").alias("text_key")),
+                    F.struct(F.lit("lower").alias("key_kind"), F.lower("text").alias("text_key")),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.lit("lower").alias("key_kind"), F.lower("text").alias("text_key")))
+            )
+        ).alias("k"),
+    ).select("conv_id", "mention_id", "label", "start", "k.key_kind", "k.text_key")
 
+    # --- ONE broadcast join for every tax-independent dictionary hop ---
+    dict_lex = _dictionary_lexicon(train_direct, lexicon_concepts, lexicon_variants)
+    c_dict = m.join(F.broadcast(dict_lex), ["label", "key_kind", "text_key"]).select(
+        "conv_id", "mention_id", "label", "cand", F.col("rank").cast("long").alias("rank"), "priority"
+    )
+
+    # rs-prefixed variants are their own id (seq_variant.py:414-416)
+    c_rs = m.filter(
+        (F.col("label") == "SequenceVariant") & F.col("text_key").startswith("rs")
+    ).select(
+        "conv_id", "mention_id", "label", F.col("text_key").alias("cand"),
+        F.lit(0).cast("long").alias("rank"), F.lit(1).alias("priority"),
+    )
+
+    # --- taxonomy vote first: gene linking anchors on its winners ---
     tax = majority_vote(
-        _first_nonempty_hop(_taxonomy_cands(mentions, train_direct, lexicon_concepts)),
+        _first_nonempty_hop(c_dict.filter(F.col("label") == "OrganismTaxon").drop("label")),
         TAXONOMY_ID_CORRECTIONS,
-    ).cache()  # reused as gene-linking anchors and in the winner union
+    ).cache()
     linked_orgs = (
         mentions.filter(F.col("label") == "OrganismTaxon")
         .select("conv_id", "mention_id", F.col("start").alias("org_start"))
@@ -332,36 +337,71 @@ def run_linker(
         .select("conv_id", "org_tax", "org_start")
     )
 
-    flat_kbs = {
-        "ChemicalEntity": ["mesh"],
-        "DiseaseOrPhenotypicFeature": ["ctd"],
-        "CellLine": ["cellosaurus"],
-    }
-    # All non-taxonomy cascades vote together in ONE pass (counts keyed by
-    # label, so the semantics equal the reference's per-pass votes); only
-    # taxonomy runs first because gene linking anchors on its winners.
-    branches: list[DataFrame] = []
-    for label, kbs in flat_kbs.items():
-        branches.append(
-            _flat_cascade_cands(
-                spark, mentions, train_direct, lexicon_concepts, label, kbs, encoder, cfg
-            ).withColumn("label", F.lit(label))
-        )
-    branches.append(
-        _gene_cands(
-            spark, mentions, linked_orgs, train_direct, lexicon_genes,
-            lexicon_concepts, encoder, cfg,
-        ).withColumn("label", F.lit("GeneOrGeneProduct"))
+    # --- gene hops: anchor then one taxon-keyed broadcast join ---
+    m_gene = _nearest_org_anchor(
+        m.filter(F.col("label") == "GeneOrGeneProduct").drop("label", "key_kind"),
+        linked_orgs,
+        lexicon_genes,
+    ).cache()
+    gene_lex = _gene_lexicon(train_direct, lexicon_genes)
+    c_gene = m_gene.alias("g").join(
+        F.broadcast(gene_lex).alias("l"),
+        (F.col("g.text_key") == F.col("l.text_key"))
+        & (F.col("l.tax_id").isNull() | (F.col("l.tax_id") == F.col("g.tax_id"))),
+    ).select(
+        "conv_id", "mention_id", F.lit("GeneOrGeneProduct").alias("label"),
+        "cand", F.col("rank").cast("long").alias("rank"), "priority",
     )
-    branches.append(
-        _variant_cands(mentions, train_direct, lexicon_variants).withColumn(
-            "label", F.lit("SequenceVariant")
-        )
+
+    # --- embedding hops (O3/O4): only dictionary misses, distinct texts ---
+    flat_train_keys = train_direct.filter(
+        F.col("label").isin(list(FLAT_EMB_KBS)) & F.col("tax_id").isNull()
+    ).select("label", "text_key").distinct()
+    m_flat = m.filter(F.col("label").isin(list(FLAT_EMB_KBS))).join(
+        F.broadcast(flat_train_keys), ["label", "text_key"], "left_anti"
     )
-    combined = branches[0]
-    for b in branches[1:]:
-        combined = combined.unionByName(b)
-    # one hop-selection window + one vote for all five labels
+    emb_flat = embedding_lookup(
+        spark, m_flat, lexicon_concepts, FLAT_EMB_KBS, encoder, cfg.similarity_threshold
+    ).filter(F.col("cand").isNotNull())
+    c_emb_flat = m_flat.join(emb_flat, ["label", "text_key"]).select(
+        "conv_id", "mention_id", "label", "cand",
+        F.lit(0).cast("long").alias("rank"), F.lit(1).alias("priority"),
+    )
+
+    emb_taxa = [
+        r["kb"].removeprefix("gene_")
+        for r in lexicon_concepts.filter(
+            F.col("kb").startswith("gene_") & F.col("embedding").isNotNull()
+        ).select("kb").distinct().collect()
+    ]
+    gene_dict_keys = gene_lex.filter(F.col("priority") <= 1).select("tax_id", "text_key").distinct()
+    m_gene_emb = m_gene.filter(F.col("tax_id").isin(emb_taxa)).join(
+        F.broadcast(gene_dict_keys),
+        ["tax_id", "text_key"],
+        "left_anti",
+    )
+    emb_gene = embedding_lookup(
+        spark,
+        m_gene_emb,
+        lexicon_concepts,
+        {t: [f"gene_{t}"] for t in emb_taxa},
+        encoder,
+        cfg.similarity_threshold,
+        per_tax=True,
+    )
+    c_emb_gene = m_gene_emb.join(emb_gene, ["text_key", "tax_id"]).select(
+        "conv_id", "mention_id", F.lit("GeneOrGeneProduct").alias("label"),
+        "cand", F.lit(0).cast("long").alias("rank"), F.lit(2).alias("priority"),
+    )
+
+    # --- one hop-selection + one per-label vote for everything non-taxonomy ---
+    combined = (
+        c_dict.filter(F.col("label") != "OrganismTaxon")
+        .unionByName(c_rs)
+        .unionByName(c_gene)
+        .unionByName(c_emb_flat)
+        .unionByName(c_emb_gene)
+    )
     rest = majority_vote(_first_nonempty_hop(combined), per_label=True)
 
     all_winners = tax.unionByName(rest)

@@ -65,32 +65,41 @@ _MARK_SCHEMA = (
 )
 
 
-def mark_pairs(pairs: DataFrame, clean_links: DataFrame, conversations: DataFrame) -> DataFrame:
-    """J6 + W6 → PAIRS with marked_text.
+def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
+    """J6 (relational part) → one row per pair with the ordered span lists
+    of its two entities: (conv_id, e1.., e2.., spans1, spans2).
 
     The mention-side explode + min-position logic reproduces the
     reference's first-match-wins entity ordering exactly."""
-    mentions = clean_links.select(
+    # Join exploded PAIR parts against a per-(conv, part) mention-span
+    # table, so only the mentions that actually share a part with the pair
+    # flow through the shuffle (a pairs×all-conv-mentions join + filter is
+    # ~15× more intermediate rows on entity-rich conversations).
+    mention_parts = clean_links.select(
         "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
     )
-    j = pairs.join(mentions, "conv_id")
-    j = j.withColumn(
-        "in1", F.array_contains(F.split("e1_id", ","), F.col("part"))
-    ).withColumn("in2", F.array_contains(F.split("e2_id", ","), F.col("part")))
-    j = j.filter(F.col("in1") | F.col("in2"))
+    pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
+    pair_parts = pairs.select(
+        *pair_cols, F.lit(1).alias("side"), F.explode(F.split("e1_id", ",")).alias("part")
+    ).unionByName(
+        pairs.select(
+            *pair_cols, F.lit(2).alias("side"), F.explode(F.split("e2_id", ",")).alias("part")
+        )
+    )
+    j = pair_parts.join(mention_parts, ["conv_id", "part"])
     # Per (pair, mention): the first part matching either side decides the
     # order (reference break at extractor/data.py:110-121).
     per_mention = j.groupBy(
         "conv_id", "e1_id", "e1_type", "e2_id", "e2_type", "start", "end"
     ).agg(
-        F.min(F.when(F.col("in1"), F.col("part_pos"))).alias("p1"),
-        F.min(F.when(F.col("in2"), F.col("part_pos"))).alias("p2"),
+        F.min(F.when(F.col("side") == 1, F.col("part_pos"))).alias("p1"),
+        F.min(F.when(F.col("side") == 2, F.col("part_pos"))).alias("p2"),
     )
     per_mention = per_mention.withColumn(
         "order",
         F.when(F.col("p1").isNotNull() & (F.col("p2").isNull() | (F.col("p1") <= F.col("p2"))), 1).otherwise(2),
     )
-    spans = per_mention.groupBy("conv_id", "e1_id", "e1_type", "e2_id", "e2_type").agg(
+    return per_mention.groupBy("conv_id", "e1_id", "e1_type", "e2_id", "e2_type").agg(
         F.array_sort(
             F.collect_list(F.when(F.col("order") == 1, F.struct("start", "end")))
         ).alias("spans1"),
@@ -98,7 +107,16 @@ def mark_pairs(pairs: DataFrame, clean_links: DataFrame, conversations: DataFram
             F.collect_list(F.when(F.col("order") == 2, F.struct("start", "end")))
         ).alias("spans2"),
     )
-    with_doc = spans.join(conversations.select("conv_id", "doc_text"), "conv_id")
+
+
+def mark_pairs(pairs: DataFrame, clean_links: DataFrame, conversations: DataFrame) -> DataFrame:
+    """J6 + W6 → PAIRS with marked_text (explicit materialization; the
+    hot pipeline path fuses marking into the classifier kernel instead —
+    see extraction.classify_pair_spans — so the ~|pairs|×|doc| marked-text
+    blow-up never shuffles)."""
+    spans = pair_spans(pairs, clean_links)
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    with_doc = spans.join(conversations.select("conv_id", "doc_text"), "conv_id").repartition(n)
 
     def mark(batches):
         for pdf in batches:

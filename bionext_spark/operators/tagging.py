@@ -78,7 +78,11 @@ def tag_windows(windows: DataFrame, tagger: TaggerAdapter | None = None) -> Data
             tags = tagger.tag_batch([list(t) for t in pdf["tokens"]])
             yield pdf.assign(bio_tags=tags)
 
-    return windows.mapInPandas(gen, WINDOWS_SCHEMA + ", bio_tags array<int>")
+    # Kernel stages are CPU/GPU-bound, not byte-bound: spread them over all
+    # cores explicitly — AQE's 64MB-target coalescing would otherwise fold
+    # the windows into a handful of partitions and serialize the model.
+    n = windows.sparkSession.sparkContext.defaultParallelism
+    return windows.repartition(n).mapInPandas(gen, WINDOWS_SCHEMA + ", bio_tags array<int>")
 
 
 _SPAN_ARR = T.ArrayType(

@@ -24,9 +24,9 @@ from bionext_spark.adapters import (
 from bionext_spark.config import DEFAULT_CONFIG, PipelineConfig
 from bionext_spark.operators.assemble import assemble_conversations
 from bionext_spark.operators.canonicalize import materialize_graph
-from bionext_spark.operators.extraction import run_extractor
+from bionext_spark.operators.extraction import aggregate_triples, classify_pair_spans
 from bionext_spark.operators.linking import run_cleaner, run_linker
-from bionext_spark.operators.pairs import run_pair_generation
+from bionext_spark.operators.pairs import generate_pairs, pair_spans
 from bionext_spark.operators.tagging import run_tagger
 from bionext_spark.sources import fixtures
 from bionext_spark.sources.catalog import Manifest, StageCatalog
@@ -95,15 +95,23 @@ def run(
     cleaned, m = cat.run_stage("clean_links", lambda: run_cleaner(links), [m.snapshot_id], fp)
     manifests["clean_links"] = m
 
+    # pairs stage table stores the span lists, not the marked text: the
+    # marked text is ~|pairs|×|doc| bytes and is produced transiently
+    # inside the fused classifier kernel instead.
     pairs, m = cat.run_stage(
         "pairs",
-        lambda: run_pair_generation(cleaned, convs, cfg),
+        lambda: pair_spans(generate_pairs(cleaned, cfg), cleaned),
         [manifests["clean_links"].snapshot_id, manifests["conversations"].snapshot_id],
         fp,
     )
     manifests["pairs"] = m
 
-    triples, m = cat.run_stage("triples", lambda: run_extractor(pairs, None, cfg), [m.snapshot_id], fp)
+    triples, m = cat.run_stage(
+        "triples",
+        lambda: aggregate_triples(classify_pair_spans(pairs, convs, None, cfg)),
+        [m.snapshot_id, manifests["conversations"].snapshot_id],
+        fp,
+    )
     manifests["triples"] = m
 
     def _graph_vertices() -> DataFrame:

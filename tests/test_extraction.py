@@ -76,6 +76,25 @@ def test_triples_match_oracle(spark_stages, oracle_out):
     assert got == exp
 
 
+def test_fused_classify_equals_marked_path(spark_stages, oracle_out):
+    """classify_pair_spans (cogrouped, doc shipped once per conversation)
+    must equal classify_pairs(mark_pairs(...)) exactly."""
+    from bionext_spark.operators.extraction import aggregate_triples, classify_pair_spans
+    from bionext_spark.operators.pairs import generate_pairs, pair_spans
+
+    convs, cleaned, _ = spark_stages
+    spans = pair_spans(generate_pairs(cleaned), cleaned)
+    got = sorted(
+        (r["conv_id"], r["subj"], r["pred"], r["obj"], r["novel"])
+        for r in aggregate_triples(classify_pair_spans(spans, convs)).collect()
+    )
+    exp = sorted(
+        (t["conv_id"], t["subj"], t["pred"], t["obj"], t["novel"])
+        for t in oracle_out["triples"]
+    )
+    assert got == exp
+
+
 def test_marker_insertion_kernel():
     text = "aspirin helps diabetes in human trials"
     marked = K.insert_markers(text, [(0, 7)], [(14, 22)])
