@@ -470,3 +470,153 @@ RELATIONAL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None
     "f_scalar_chain": (f_scalar_chain, F_SCALAR_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# W2/W3 — window/chunk plan arithmetic (src/data.py:169-258,
+# extractor/data.py:342-396): the windowing math as relational columns.
+# ---------------------------------------------------------------------------
+
+
+def w2_window_plan(spark, sf):
+    d = t(spark, sf, "documents")
+    center, ctx, chunk = 384, 64, 512
+    toks = F.size(F.split("text", r"\s+")).cast("long")
+    n_windows = F.ceil(F.greatest(toks, F.lit(1)).cast("double") / center).cast("long")
+    # right-aligned last chunk start (reference extractor/data.py:359)
+    last_chunk_start = F.greatest(F.lit(0).cast("long"), toks - chunk)
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        n_windows.alias("n_windows"),
+        (n_windows * center).alias("center_capacity"),
+        last_chunk_start.alias("last_chunk_start"),
+        F.least(toks, F.lit(chunk).cast("long")).alias("last_chunk_len"),
+    )
+
+
+W2_SQL = """
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       CAST(ceil(greatest(len(string_split_regex(text, '\\s+')), 1) / 384.0) AS BIGINT) AS n_windows,
+       CAST(ceil(greatest(len(string_split_regex(text, '\\s+')), 1) / 384.0) AS BIGINT) * 384 AS center_capacity,
+       greatest(0, len(string_split_regex(text, '\\s+')) - 512) AS last_chunk_start,
+       least(len(string_split_regex(text, '\\s+')), 512) AS last_chunk_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 — composite-id cross-product explode (extractor/__init__.py:88-94).
+# ---------------------------------------------------------------------------
+
+
+def j7_composite_explode(spark, sf):
+    p = t(spark, sf, "part").filter(F.col("p_partkey") < 200)
+    e1 = p.select("p_partkey", F.explode(F.split("p_type", " ")).alias("w1"))
+    return e1.select(
+        "p_partkey", "w1", F.explode(F.split(F.col("p_partkey").cast("string"), "")).alias("digit")
+    ).groupBy("w1", "digit").agg(F.count("*").alias("n"))
+
+
+J7_SQL = """
+WITH e1 AS (
+  SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w1
+  FROM part WHERE p_partkey < 200),
+e2 AS (
+  SELECT p_partkey, w1, unnest(string_split(CAST(p_partkey AS VARCHAR), '')) AS digit
+  FROM e1)
+SELECT w1, digit, count(*) AS n FROM e2 GROUP BY w1, digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1/U3 — union + dedup (taxonomy.py:48-50, seq_variant.py:324-346).
+# ---------------------------------------------------------------------------
+
+
+def u1_union_distinct(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().groupBy().agg(F.count("*").alias("n_nations_present"))
+
+
+U1_SQL = """
+SELECT count(*) AS n_nations_present FROM (
+  SELECT DISTINCT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL SELECT s_nationkey FROM supplier))
+"""
+
+
+# ---------------------------------------------------------------------------
+# F12 — offset→segment mapping via cumulative sums (tagger writeback,
+# tagger/__init__.py:113-120; ours: span→turn via running offsets).
+# ---------------------------------------------------------------------------
+
+
+def f12_cumulative_segment(spark, sf):
+    li = t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    cum = F.round(F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+    tot = F.round(F.sum("l_quantity").over(Window.partitionBy("l_orderkey")), 4)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", cum.alias("cum_qty"), tot.alias("tot"))
+        .filter(F.col("cum_qty") * 2 >= F.col("tot"))
+        .groupBy("l_orderkey")
+        .agg(F.min_by("l_linenumber", F.struct("l_linenumber", "l_partkey")).alias("median_line"))
+    )
+
+
+F12_SQL = """
+WITH cum AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_qty,
+         round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 4) AS tot
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber AS median_line FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+  FROM cum WHERE cum_qty * 2 >= tot)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — eval-metric counts (tagger/metrics.py:89-91): TP/FP/FN between a
+# "predicted" and a "gold" set derived from events.
+# ---------------------------------------------------------------------------
+
+
+def a6_eval_counts(spark, sf):
+    e = t(spark, sf, "events")
+    pred = e.filter(F.col("value") > 60).select("user_id", "event_id")
+    gold = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id")
+    tp = pred.join(gold, ["user_id", "event_id"]).count()
+    n_pred, n_gold = pred.count(), gold.count()
+    return spark.createDataFrame(
+        [(tp, n_pred - tp, n_gold - tp)], "tp long, fp long, fn long"
+    )
+
+
+A6_SQL = """
+WITH pred AS (SELECT user_id, event_id FROM events WHERE value > 60),
+gold AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+tp AS (SELECT count(*) AS c FROM pred JOIN gold USING (user_id, event_id))
+SELECT tp.c AS tp,
+       (SELECT count(*) FROM pred) - tp.c AS fp,
+       (SELECT count(*) FROM gold) - tp.c AS fn
+FROM tp
+"""
+
+
+RELATIONAL.update(
+    {
+        "w2_window_plan": (w2_window_plan, W2_SQL),
+        "j7_composite_explode": (j7_composite_explode, J7_SQL),
+        "u1_union_distinct": (u1_union_distinct, U1_SQL),
+        "f12_cumulative_segment": (f12_cumulative_segment, F12_SQL),
+        "a6_eval_counts": (a6_eval_counts, A6_SQL),
+    }
+)
