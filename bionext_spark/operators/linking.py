@@ -62,6 +62,79 @@ def _first_nonempty_hop(cands: DataFrame) -> DataFrame:
     return cands.withColumn("min_p", w).filter(F.col("priority") == F.col("min_p")).drop("min_p")
 
 
+def vote_conversation(
+    rows: list[tuple[int, str | None, str, int, int]],
+    corrections: dict[str, str] | None = None,
+) -> list[tuple[int, str, int]]:
+    """Pure hop-select + majority-vote for ONE conversation's candidate
+    rows (mention_id, label, cand, rank, priority) → per-mention
+    (mention_id, linked_id, priority). Shared semantics with the
+    relational majority_vote (reference chemicals.py:96-135):
+    min-priority hop per mention, per-(label, cand) support counts, max
+    count with first-in-list (rank) tie-break."""
+    from collections import defaultdict
+
+    min_p: dict[int, int] = {}
+    for mid, _lbl, _cand, _rank, prio in rows:
+        if mid not in min_p or prio < min_p[mid]:
+            min_p[mid] = prio
+    chosen = [r for r in rows if r[4] == min_p[r[0]]]
+    counts: dict[tuple[str | None, str], int] = defaultdict(int)
+    for _mid, lbl, cand, _rank, _p in chosen:
+        counts[(lbl, cand)] += 1
+    best: dict[int, tuple[int, int, str]] = {}  # mid -> (cnt, -rank, cand)
+    for mid, lbl, cand, rank, _p in chosen:
+        key = (counts[(lbl, cand)], -rank)
+        if mid not in best or key > best[mid][:2]:
+            best[mid] = (key[0], key[1], cand)
+    out = []
+    for mid, (_c, _nr, cand) in best.items():
+        if corrections:
+            cand = corrections.get(cand, cand)
+        out.append((mid, cand, min_p[mid]))
+    return out
+
+
+def majority_vote_grouped(
+    cands: DataFrame,
+    corrections: dict[str, str] | None = None,
+    per_label: bool = False,
+) -> DataFrame:
+    """Grouped-kernel form of hop-select + majority_vote: ONE shuffle on
+    conv_id and a per-conversation pandas pass, instead of the window +
+    counts + join + groupBy chain (~4 shuffles). Candidate lists per
+    conversation are small, so the python pass is cheap; outputs are
+    proven equal to the relational form in tests."""
+    import pandas as pd
+
+    has_label = per_label
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(
+            zip(
+                pdf["mention_id"],
+                pdf["label"] if has_label else [None] * len(pdf),
+                pdf["cand"],
+                pdf["rank"],
+                pdf["priority"],
+            )
+        )
+        out = vote_conversation(rows, corrections)
+        conv = pdf["conv_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(out),
+                "mention_id": [int(m) for m, _, _ in out],
+                "linked_id": [c for _, c, _ in out],
+                "priority": [int(p) for _, _, p in out],
+            }
+        )
+
+    return cands.groupBy("conv_id").applyInPandas(
+        per_conv, "conv_id string, mention_id int, linked_id string, priority int"
+    )
+
+
 def majority_vote(
     cands: DataFrame,
     corrections: dict[str, str] | None = None,
@@ -285,10 +358,20 @@ def run_linker(
     lexicon_variants: DataFrame,
     encoder: EncoderAdapter | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    vote_impl: str = "grouped",
 ) -> DataFrame:
-    """mentions → LINKS (same rows + linked_id/method; '-' = unlinked)."""
+    """mentions → LINKS (same rows + linked_id/method; '-' = unlinked).
+
+    ``vote_impl``: 'grouped' (default) fuses hop-selection + majority vote
+    into one per-conversation kernel (1 shuffle); 'relational' keeps the
+    pure window+groupBy form. Both produce identical output (tested)."""
     encoder = encoder or StubEncoder(cfg.embedding_dim)
     mentions = mentions.cache()  # fans into dict join, anchors, final join
+
+    def _vote(c: DataFrame, corrections=None, per_label: bool = False) -> DataFrame:
+        if vote_impl == "grouped":
+            return majority_vote_grouped(c, corrections, per_label)
+        return majority_vote(_first_nonempty_hop(c), corrections, per_label)
 
     m = mentions.select(
         "conv_id",
@@ -325,8 +408,8 @@ def run_linker(
     )
 
     # --- taxonomy vote first: gene linking anchors on its winners ---
-    tax = majority_vote(
-        _first_nonempty_hop(c_dict.filter(F.col("label") == "OrganismTaxon").drop("label")),
+    tax = _vote(
+        c_dict.filter(F.col("label") == "OrganismTaxon").drop("label"),
         TAXONOMY_ID_CORRECTIONS,
     ).cache()
     linked_orgs = (
@@ -402,7 +485,7 @@ def run_linker(
         .unionByName(c_emb_flat)
         .unionByName(c_emb_gene)
     )
-    rest = majority_vote(_first_nonempty_hop(combined), per_label=True)
+    rest = _vote(combined, per_label=True)
 
     all_winners = tax.unionByName(rest)
 
