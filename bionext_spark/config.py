@@ -75,6 +75,13 @@ class PipelineConfig:
     # at 10^12-turn scale an O(n^2) blow-up on entity-rich conversations
     # must be bounded. Capped pairs are counted in stage metrics.
     max_pairs_per_conversation: int = 10_000
+    # Entity pre-cap applied BEFORE the pair self-join so pairs past the cap
+    # are never generated: the O(n²) intermediate is bounded at m(m-1)/2
+    # rows per conversation (512 → ≤130,816) instead of materializing n²
+    # rows and dropping them with a window. For conversations with ≤ this
+    # many distinct entities the emitted pair set is byte-identical to the
+    # uncapped prefix semantics.
+    max_entities_per_conversation: int = 512
     # Skew handling: conversations are salted into this many sub-keys for
     # shuffle-heavy stages when their turn count exceeds the skew threshold.
     salt_buckets: int = 8

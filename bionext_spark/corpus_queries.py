@@ -29,6 +29,18 @@ from pyspark.sql.window import Window
 
 from bionext_spark.entry_queries import t
 
+
+def _ranked_topk(scored: DataFrame, k: int, *order_cols) -> DataFrame:
+    """Global top-k WITHOUT a global window: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition heap + driver merge — no
+    single-partition WindowExec, the round-1 scale-killer). The rank column
+    is then derived over the ≤k-row result; partitionBy(lit(0)) keeps the
+    partition spec non-empty so no all-data-to-one-partition plan exists
+    anywhere, and the shuffle it implies moves exactly k rows."""
+    top = scored.orderBy(*order_cols).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
 # ---------------------------------------------------------------------------
 # Deduplication.
 # ---------------------------------------------------------------------------
@@ -56,10 +68,12 @@ _SHINGLE_EXPR = (
 )
 
 
-def _shingles(d: DataFrame, k: int = 8) -> DataFrame:
-    return d.select(
-        "doc_id", F.explode_outer(F.expr(_SHINGLE_EXPR.format(k=k))).alias("sh")
-    ).distinct()
+def _shingles(d: DataFrame, k: int = 8, distinct: bool = True) -> DataFrame:
+    """Char-k-gram shingles. ``distinct=False`` skips the dedup shuffle —
+    min-aggregations (minhash signatures) are duplicate-invariant, so the
+    signature pass never pays the full-corpus distinct."""
+    sh = d.select("doc_id", F.explode_outer(F.expr(_SHINGLE_EXPR.format(k=k))).alias("sh"))
+    return sh.distinct() if distinct else sh
 
 
 def dedup_minhash_lsh(spark, sf):
@@ -69,12 +83,19 @@ def dedup_minhash_lsh(spark, sf):
     the globally minimal shingle lands in thousands of docs and the
     candidate bucket goes quadratic; two minima per band keep buckets
     selective. Candidates sharing ≥1 band signature are verified with
-    exact jaccard over the char-8-gram shingle sets; emit jaccard ≥ 0.5."""
+    exact jaccard over the char-8-gram shingle sets; emit jaccard ≥ 0.5.
+
+    100 TB shape: the signature pass streams the shingle explosion through
+    ONE map-side-combined aggregation (min is duplicate-invariant, so no
+    distinct and nothing cached — round 1 cached the ~8×|corpus|-row
+    distinct shingle table, which cannot fit at scale). The exact-jaccard
+    verify re-derives shingles ONLY for documents that appear in a
+    candidate pair (semi-join pushdown into the parquet scan), so its cost
+    follows |candidates|, not |corpus|."""
     d = t(spark, sf, "documents")
-    sh = _shingles(d).cache()
     # all 8 minima in ONE aggregation (map-side partial combine shrinks the
     # shuffle from |shingles|×8 rows to |docs| rows of 8 digests)
-    per_doc = sh.groupBy("doc_id").agg(
+    per_doc = _shingles(d, distinct=False).groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("\x00", F.lit(str(h)), F.col("sh")))).alias(f"mh{h}")
             for h in range(8)
@@ -93,6 +114,14 @@ def dedup_minhash_lsh(spark, sf):
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
+    # verify over candidate docs only: distinct shingles re-derived for the
+    # (few) docs in candidate pairs, never the whole corpus
+    cand_docs = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(d.join(cand_docs, "doc_id", "left_semi")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
@@ -276,10 +305,7 @@ def ann_topk_cosine(spark, sf):
             / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
         ).alias("cos"),
     )
-    w = Window.orderBy(F.desc("cos"), "vec_id")
-    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 10).select(
-        "vec_id", "rnk"
-    )
+    return _ranked_topk(scored, 10, F.desc("cos"), "vec_id").select("vec_id", "rnk")
 
 
 ANN_TOPK_SQL = """
@@ -299,21 +325,23 @@ def ann_lsh_bucket(spark, sf):
     """LSH scale path: 4 sign-bit hyperplane bucket (hyperplanes = rows
     vec_id 1..4), search only the query's bucket, top-5 by cosine."""
     em = t(spark, sf, "embeddings")
-    planes = em.filter(F.col("vec_id").between(1, 4)).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv")
+    # All 4 sign bits fold in ONE projection against a broadcast 1-row array
+    # of hyperplanes — zero shuffle for signatures (the round-1 version
+    # grouped by (vec_id, embedding), shuffling full vectors as grouping
+    # keys; at 100 TB the signature pass must not shuffle the vectors).
+    planes = (
+        em.filter(F.col("vec_id").between(1, 4))
+        .select(F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("plane_id", "pv"))).alias("planes"))
     )
-    sig = (
-        em.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "embedding",
-            "plane_id",
-            F.when(F.expr(_DOT.format(a="embedding", b="pv")) >= 0, 1).otherwise(0).alias("bit"),
-        )
-        .groupBy("vec_id", "embedding")
-        .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2), 4 - F.col("plane_id")).cast("long")).alias("bucket")
-        )
+    bucket_expr = (
+        "aggregate(planes, cast(0 as long), (acc, p) -> acc + CASE WHEN "
+        + _DOT.format(a="embedding", b="p.pv")
+        + " >= 0 THEN cast(shiftleft(1, 4 - p.plane_id) as long) ELSE cast(0 as long) END)"
+    )
+    sig = em.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "embedding", F.expr(bucket_expr).alias("bucket")
     )
     qb = sig.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
@@ -329,10 +357,7 @@ def ann_lsh_bucket(spark, sf):
             ).alias("cos"),
         )
     )
-    w = Window.orderBy(F.desc("cos"), "vec_id")
-    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5).select(
-        "vec_id", "rnk"
-    )
+    return _ranked_topk(scored, 5, F.desc("cos"), "vec_id").select("vec_id", "rnk")
 
 
 ANN_LSH_SQL = """
@@ -368,10 +393,7 @@ def dedup_embedding_cosine(spark, sf):
             / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
         ).alias("cos"),
     )
-    w = Window.orderBy(F.desc("cos"), "v1", "v2")
-    return pairs.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 20).select(
-        "v1", "v2", "rnk"
-    )
+    return _ranked_topk(pairs, 20, F.desc("cos"), "v1", "v2").select("v1", "v2", "rnk")
 
 
 DEDUP_EMB_SQL = """

@@ -307,16 +307,17 @@ _MARKER_TOKEN_RE = re.compile(r"\[[se][12]\]|\w+|[^\w\s]")
 
 
 def chunk_marked_text(marked: str, chunk_len: int, both_required: bool) -> list[str]:
-    """Token chunks of a marked pair text; keeps only chunks containing
-    a [s1] and (when ``both_required``) a [s2] marker (P4, reference
-    src/extractor/data.py:369-376). Markers tokenize atomically, like the
-    reference's added special tokens (src/extractor/data.py:346-356)."""
+    """Token chunks of a marked pair text. When ``both_required`` (distinct
+    entity ids) only chunks containing both a [s1] and a [s2] marker are
+    kept (P4, reference src/extractor/data.py:369-376); when the pair is a
+    same-id cross-type pair (entity1 == entity2) the reference applies NO
+    marker filter and classifies every chunk — mirrored here. Markers
+    tokenize atomically, like the reference's added special tokens
+    (src/extractor/data.py:346-356)."""
     toks = _MARKER_TOKEN_RE.findall(marked)
     chunks: list[str] = []
     for lo, hi in chunk_ranges(len(toks), chunk_len):
         piece = toks[lo:hi]
-        has1 = "[s1]" in piece
-        has2 = "[s2]" in piece
-        if has1 and (has2 or not both_required):
+        if not both_required or ("[s1]" in piece and "[s2]" in piece):
             chunks.append(" ".join(piece))
     return chunks

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from bionext_spark import kernels as K
 from bionext_spark.adapters import RelationAdapter, StubRelationClassifier
+from bionext_spark.operators import kernel_repartition
 from bionext_spark.config import (
     DEFAULT_CONFIG,
     NEGATIVE_CLASS,
@@ -74,10 +75,9 @@ def classify_pairs(
                     out["pred_class"].append(K.argmax_first(rel))
             yield pd.DataFrame(out, columns=list(out.keys()))
 
-    # spread the classification kernel over all cores (see tagging.py note
-    # on AQE coalescing vs CPU-bound kernel stages)
-    n = pairs.sparkSession.sparkContext.defaultParallelism
-    return pairs.repartition(n).mapInPandas(gen, _PRED_SCHEMA)
+    # spread the classification kernel over all cores (see
+    # operators.kernel_repartition on AQE coalescing vs CPU-bound kernels)
+    return kernel_repartition(pairs).mapInPandas(gen, _PRED_SCHEMA)
 
 
 def classify_pair_spans(
@@ -110,13 +110,15 @@ def classify_pair_spans(
             return empty_frame()
         doc = right["doc_text"].iloc[0]
         e1s, e2s, chunks = [], [], []
-        for _, row in left.iterrows():
-            s1 = [(s["start"], s["end"]) for s in (row["spans1"] if row["spans1"] is not None else [])]
-            s2 = [(s["start"], s["end"]) for s in (row["spans2"] if row["spans2"] is not None else [])]
+        for e1_id, e2_id, spans1, spans2 in zip(
+            left["e1_id"], left["e2_id"], left["spans1"], left["spans2"]
+        ):
+            s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
+            s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
             marked = K.insert_markers(doc, s1, s2)
-            for ch in K.chunk_marked_text(marked, max_len, row["e1_id"] != row["e2_id"]):
-                e1s.append(row["e1_id"])
-                e2s.append(row["e2_id"])
+            for ch in K.chunk_marked_text(marked, max_len, e1_id != e2_id):
+                e1s.append(e1_id)
+                e2s.append(e2_id)
                 chunks.append(ch)
         if e1s:
             conv = left["conv_id"].iloc[0]
@@ -172,7 +174,11 @@ def aggregate_triples(predictions: DataFrame) -> DataFrame:
             "obj",
             (F.col("novel_idx") == 1).alias("novel"),
         )
-        .orderBy("conv_id", "subj", "obj")
+        # deterministic order within each output file without a full-data
+        # range shuffle (a global orderBy on every run was a pure scale tax;
+        # global ordering only ever matters at a sink, where the writer can
+        # ask for it explicitly)
+        .sortWithinPartitions("conv_id", "subj", "obj")
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from bionext_spark import kernels as K
 from bionext_spark.config import DEFAULT_CONFIG, VALID_TYPE_PAIRS, PipelineConfig
+from bionext_spark.operators import kernel_repartition
 
 
 def _type_pairs_df(spark):
@@ -34,9 +35,22 @@ def _type_pairs_df(spark):
 
 
 def generate_pairs(clean_links: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """A7 + J5 → (conv_id, e1_id, e1_type, e2_id, e2_type)."""
+    """A7 + J5 → (conv_id, e1_id, e1_type, e2_id, e2_type).
+
+    Two-level cap: distinct entities per conversation are pre-capped to the
+    first ``max_entities_per_conversation`` in (type, id) order BEFORE the
+    self-join — a cheap row_number over the ~n-row distinct set — so an
+    entity-rich conversation (10⁵ ids → 5×10⁹ raw pairs) never materializes
+    pairs past the bound; the pair-rank cap then runs over an input already
+    bounded at m(m-1)/2 rows."""
     spark = clean_links.sparkSession
     ids = clean_links.select("conv_id", "linked_id", "label").distinct()
+    ent_w = Window.partitionBy("conv_id").orderBy("label", "linked_id")
+    ids = (
+        ids.withColumn("ent_rank", F.row_number().over(ent_w))
+        .filter(F.col("ent_rank") <= cfg.max_entities_per_conversation)
+        .drop("ent_rank")
+    )
     a = ids.select(
         "conv_id", F.col("linked_id").alias("e1_id"), F.col("label").alias("e1_type")
     )
@@ -115,8 +129,9 @@ def mark_pairs(pairs: DataFrame, clean_links: DataFrame, conversations: DataFram
     see extraction.classify_pair_spans — so the ~|pairs|×|doc| marked-text
     blow-up never shuffles)."""
     spans = pair_spans(pairs, clean_links)
-    n = pairs.sparkSession.sparkContext.defaultParallelism
-    with_doc = spans.join(conversations.select("conv_id", "doc_text"), "conv_id").repartition(n)
+    with_doc = kernel_repartition(
+        spans.join(conversations.select("conv_id", "doc_text"), "conv_id")
+    )
 
     def mark(batches):
         for pdf in batches:

@@ -31,14 +31,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bionext_spark import kernels as K
+from bionext_spark import schemas
 from bionext_spark.adapters import StubLexiconTagger, TaggerAdapter
 from bionext_spark.config import DEFAULT_CONFIG, ENTITY_LABELS, PipelineConfig
+from bionext_spark.operators import kernel_repartition as _kernel_repartition
 from bionext_spark.operators.assemble import turn_of_span
 
-WINDOWS_SCHEMA = (
-    "conv_id string, sequence_id int, tokens array<string>, "
-    "token_starts array<int>, token_ends array<int>, n_left int, n_right int"
-)
+# mapInPandas schemas derive from the declared stage-boundary StructTypes so
+# the contract in schemas.py cannot drift from what the kernels emit
+WINDOWS_SCHEMA = schemas.WINDOWS
+TAGGED_WINDOWS_SCHEMA = schemas.TAGGED_WINDOWS
 
 
 def window_conversations(conversations: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -81,8 +83,7 @@ def tag_windows(windows: DataFrame, tagger: TaggerAdapter | None = None) -> Data
     # Kernel stages are CPU/GPU-bound, not byte-bound: spread them over all
     # cores explicitly — AQE's 64MB-target coalescing would otherwise fold
     # the windows into a handful of partitions and serialize the model.
-    n = windows.sparkSession.sparkContext.defaultParallelism
-    return windows.repartition(n).mapInPandas(gen, WINDOWS_SCHEMA + ", bio_tags array<int>")
+    return _kernel_repartition(windows).mapInPandas(gen, TAGGED_WINDOWS_SCHEMA)
 
 
 _SPAN_ARR = T.ArrayType(

@@ -331,6 +331,8 @@ def make_pairs(
     for conv_id in sorted(by_conv):
         ms = sorted(by_conv[conv_id], key=lambda x: (x["start"], x["end"]))
         ids = sorted({(r["linked_id"], r["label"]) for r in ms}, key=lambda x: (x[1], x[0]))
+        # entity pre-cap (mirrors operators.pairs.generate_pairs two-level cap)
+        ids = ids[: cfg.max_entities_per_conversation]
         doc = conversations[conv_id]["doc_text"]
         n_pairs = 0
         for i in range(len(ids)):

@@ -127,9 +127,15 @@ def run(
         fp,
     )
     manifests["vertices"] = m_v
+    # lazy fallback: materialize_graph runs the eager connected-components
+    # loop, so it must only be invoked when the vertices stage was resumed
+    # from a committed snapshot (a getattr default argument would evaluate
+    # it eagerly and run CC twice on every fresh run)
     edges, m_e = cat.run_stage(
         "edges",
-        lambda: getattr(_graph_vertices, "edges", materialize_graph(cleaned, triples)[1]),
+        lambda: _graph_vertices.edges  # type: ignore[attr-defined]
+        if hasattr(_graph_vertices, "edges")
+        else materialize_graph(cleaned, triples)[1],
         [manifests["clean_links"].snapshot_id, manifests["triples"].snapshot_id],
         fp,
     )

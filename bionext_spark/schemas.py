@@ -39,13 +39,13 @@ WINDOWS = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("sequence_id", T.IntegerType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
         T.StructField("token_starts", T.ArrayType(T.IntegerType()), False),
         T.StructField("token_ends", T.ArrayType(T.IntegerType()), False),
-        T.StructField("tokens", T.ArrayType(T.StringType()), False),
         # Number of left/right context tokens in this window (stripped at
         # reassembly; the last window may carry extra left overlap).
-        T.StructField("n_left_ctx", T.IntegerType(), False),
-        T.StructField("n_right_ctx", T.IntegerType(), False),
+        T.StructField("n_left", T.IntegerType(), False),
+        T.StructField("n_right", T.IntegerType(), False),
     ]
 )
 
@@ -135,10 +135,16 @@ LEXICON_GENES = T.StructType(
         T.StructField("gene_id", T.StringType(), False),
     ]
 )
+# Train-memory lookup table as the linker actually consumes it: text_key
+# carries the reference's mixed normalization (raw for taxonomy, lowered
+# otherwise), tax_id keys the per-taxon gene memory (NULL = tax-independent
+# hop), rank preserves first-in-file tie-break order.
 TRAIN_DIRECT = T.StructType(
     [
         T.StructField("label", T.StringType(), False),
-        T.StructField("text_lower", T.StringType(), False),
+        T.StructField("text_key", T.StringType(), False),
         T.StructField("linked_id", T.StringType(), False),
+        T.StructField("tax_id", T.StringType(), True),
+        T.StructField("rank", T.IntegerType(), False),
     ]
 )

@@ -106,15 +106,22 @@ class StageCatalog:
 
         written = self.spark.read.parquet(data_dir)
         # per-partition lineage/metrics (A5 analog: the reference prints
-        # per-stage counts; we persist them per partition for resume audits)
+        # per-stage counts; we persist them per written FILE — a stable
+        # property of the snapshot — not spark_partition_id() of a re-read,
+        # which reflects the reader's split planning and changes with
+        # maxPartitionBytes/file packing)
         pc_rows = (
-            written.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            written.groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+            )
+            .count()
+            .collect()
         )
         manifest = Manifest(
             stage=stage,
             snapshot_id=snap,
             row_count=sum(r["count"] for r in pc_rows),
-            partition_counts={str(r["pid"]): r["count"] for r in pc_rows},
+            partition_counts={str(r["file"]): r["count"] for r in pc_rows},
             inputs=inputs,
             config_fingerprint=config_fingerprint,
             committed_at=time.time(),

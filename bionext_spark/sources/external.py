@@ -56,8 +56,15 @@ class MemoizedLookup:
                 vals = adapter.lookup_batch(list(pdf["key"])) if len(pdf) else []
                 yield pdf.assign(value=pd.Series(vals, index=pdf.index, dtype=object))
 
+        # Materialize the fetch COMPLETELY before branching: a lazily-cached
+        # limit(1).count() only runs some partitions, so the later append +
+        # returned union could re-execute the kernel and call the external
+        # adapter twice for the same keys (and diverge if the adapter is
+        # non-deterministic). One action over all partitions pins every row
+        # in the cache first.
         fetched = misses.mapInPandas(call, "key string, value string").cache()
+        fetched.count()
         new = fetched.filter(F.col("value").isNotNull())
-        if new.limit(1).count():
+        if not new.isEmpty():
             new.write.mode("append").parquet(self.memo_dir)
         return hits.unionByName(fetched)

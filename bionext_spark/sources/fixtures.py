@@ -17,15 +17,8 @@ from pyspark.sql import types as T
 
 from bionext_spark import schemas, synth
 
-TRAIN_DIRECT_RANKED = T.StructType(
-    [
-        T.StructField("label", T.StringType(), False),
-        T.StructField("text_key", T.StringType(), False),
-        T.StructField("linked_id", T.StringType(), False),
-        T.StructField("tax_id", T.StringType(), True),
-        T.StructField("rank", T.IntegerType(), False),
-    ]
-)
+# the declared stage-boundary schema IS the consumed shape (no drift)
+TRAIN_DIRECT_RANKED = schemas.TRAIN_DIRECT
 LEXICON_CONCEPTS_RANKED = T.StructType(
     schemas.LEXICON_CONCEPTS.fields + [T.StructField("rank", T.IntegerType(), False)]
 )
