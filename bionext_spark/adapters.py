@@ -71,6 +71,29 @@ class StubRelationClassifier:
         return [K.stub_relation_logits(a, b, c) for a, b, c in zip(e1, e2, chunks)]
 
 
+class StubLitVarAdapter:
+    """Deterministic S8 stand-in: the LitVar autocomplete REST call
+    (reference src/linker/seq_variant.py:120-129) as a pure function of the
+    '<cleaned mention> <gene symbol>' key; plugs into MemoizedLookup."""
+
+    def lookup_batch(self, keys):
+        from bionext_spark.synth import fake_litvar_response
+
+        return [fake_litvar_response(k) for k in keys]
+
+
+class StubLLMAdapter:
+    """Deterministic K5 stand-in: the few-shot LLM variant normalizer
+    (reference seq_variant.py:233-305) as a pure function of the
+    '<amino-converted mention>\\x00<gene>' key; the raw model text is
+    memoized, F5 scrub + F4 rewrite run downstream in the dataflow."""
+
+    def lookup_batch(self, keys):
+        from bionext_spark.synth import fake_llm_response
+
+        return [fake_llm_response(k) for k in keys]
+
+
 def hf_adapters_available() -> bool:
     try:  # pragma: no cover - torch/transformers not in this image
         import torch  # noqa: F401

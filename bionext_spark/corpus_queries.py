@@ -538,6 +538,138 @@ GROUP BY 1, 2
 """
 
 
+def kg_variant_cascade(spark, sf):
+    """Seq-variant cascade analog, fully relational (engine form:
+    operators/linking.py:_variant_candidates; reference
+    src/linker/seq_variant.py:376-505): mentions derived from events cycle
+    through hop shapes — rs-prefix (hop 0), substitution-shaped texts that
+    an md5-keyed LitVar-analog resolves to a ranked rsid LIST (hop 1,
+    after the F2 clean), and everything else through the LLM-analog path
+    (hop 2: deterministic raw model text → F5 scrub → F4 SUB→Allele
+    rewrite). First-non-empty-hop selection + the doc-level list majority
+    vote (count desc, list rank asc) pick each mention's final id."""
+    from bionext_spark.functions.text import (
+        clean_variant_mention_col,
+        rewrite_sub_allele_col,
+        scrub_llm_output_col,
+    )
+
+    e = t(spark, sf, "events")
+    five = F.col("event_id") % 5
+    m = e.select(
+        F.col("user_id").cast("long").alias("conv_id"),
+        F.col("event_id").cast("long").alias("mention_id"),
+        F.when(five == 0, F.concat(F.lit("RS"), (F.col("event_id") % 97).cast("string")))
+        .when(five == 1, F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string"), F.lit(" / T")))
+        .when(five == 2, F.concat(F.lit("g"), (F.col("event_id") % 13).cast("string"), F.lit(" ins -- 4")))
+        .when(five == 3, F.lit("GCU repeat"))
+        .otherwise(F.lit("plain mention"))
+        .alias("text"),
+    ).withColumn("clean", clean_variant_mention_col(F.col("text")))
+
+    h0 = m.filter(F.lower("text").startswith("rs")).select(
+        "conv_id", "mention_id", F.lower("text").alias("cand"),
+        F.lit(0).cast("long").alias("crank"), F.lit(0).alias("priority"),
+    )
+    lit = m.filter(F.col("clean").contains(">")).withColumn("h", F.md5("clean"))
+    h1 = lit.select(
+        "conv_id", "mention_id",
+        F.posexplode(
+            F.array(
+                F.concat(F.lit("rs"), F.substring("h", 1, 4)),
+                F.concat(F.lit("rs"), F.substring("h", 5, 4)),
+            )
+        ).alias("pos", "cand"),
+    ).select(
+        "conv_id", "mention_id", "cand",
+        F.col("pos").cast("long").alias("crank"), F.lit(1).alias("priority"),
+    )
+    rest = m.filter(~F.lower("text").startswith("rs") & ~F.col("clean").contains(">"))
+    raw = F.when(
+        F.substring(F.md5("clean"), 1, 1) < F.lit("8"),
+        F.concat(
+            F.lit("the code is c|SUB|A|"), (F.col("mention_id") % 20).cast("string"), F.lit("| indeed")
+        ),
+    ).otherwise(F.lit("no code derived"))
+    h2 = rest.select(
+        "conv_id", "mention_id",
+        rewrite_sub_allele_col(scrub_llm_output_col(raw)).alias("cand"),
+        F.lit(0).cast("long").alias("crank"), F.lit(2).alias("priority"),
+    )
+    cands = h0.unionByName(h1).unionByName(h2)
+    wmin = Window.partitionBy("conv_id", "mention_id")
+    chosen = cands.withColumn("minp", F.min("priority").over(wmin)).filter(
+        F.col("priority") == F.col("minp")
+    )
+    counts = chosen.groupBy("conv_id", "cand").agg(F.count("*").alias("cnt"))
+    scored = chosen.join(counts, ["conv_id", "cand"])
+    wr = Window.partitionBy("conv_id", "mention_id").orderBy(
+        F.desc("cnt"), F.asc("crank"), F.asc("cand")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id", "mention_id",
+            F.col("cand").alias("linked_id"),
+            F.col("priority").cast("int").alias("hop"),
+        )
+    )
+
+
+KG_VARIANT_SQL = """
+WITH m0 AS (
+  SELECT CAST(user_id AS BIGINT) AS conv_id, CAST(event_id AS BIGINT) AS mention_id,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'RS' || CAST(event_id % 97 AS VARCHAR)
+      WHEN 1 THEN 'c' || CAST(user_id % 50 AS VARCHAR) || ' / T'
+      WHEN 2 THEN 'g' || CAST(event_id % 13 AS VARCHAR) || ' ins -- 4'
+      WHEN 3 THEN 'GCU repeat'
+      ELSE 'plain mention' END AS text
+  FROM events),
+mc AS (SELECT *, replace(replace(replace(text, '/', '>'), '--', ''), ' ', '') AS clean FROM m0),
+h0 AS (SELECT conv_id, mention_id, lower(text) AS cand, CAST(0 AS BIGINT) AS crank, 0 AS priority
+       FROM mc WHERE lower(text) LIKE 'rs%'),
+h1 AS (
+  SELECT conv_id, mention_id, 'rs' || substr(md5(clean), 1, 4) AS cand,
+         CAST(0 AS BIGINT) AS crank, 1 AS priority
+  FROM mc WHERE contains(clean, '>')
+  UNION ALL
+  SELECT conv_id, mention_id, 'rs' || substr(md5(clean), 5, 4) AS cand,
+         CAST(1 AS BIGINT) AS crank, 1 AS priority
+  FROM mc WHERE contains(clean, '>')),
+h2 AS (
+  SELECT conv_id, mention_id,
+    CASE WHEN len(cands) = 0 THEN '-'
+         WHEN regexp_full_match(cands[-1], '(c|p)\\|SUB\\|[A-Z]\\|(\\d+)(\\|)?')
+           THEN regexp_replace(replace(cands[-1], 'SUB', 'Allele'), '\\|$', '')
+         ELSE cands[-1] END AS cand,
+    CAST(0 AS BIGINT) AS crank, 2 AS priority
+  FROM (
+    SELECT conv_id, mention_id,
+      list_transform(list_filter(string_split_regex(raw, '\\s+'), w -> contains(w, '|')),
+                     w -> regexp_replace(w, '[^\\w\\s|+-]', '', 'g')) AS cands
+    FROM (
+      SELECT conv_id, mention_id,
+        CASE WHEN substr(md5(clean), 1, 1) < '8'
+             THEN 'the code is c|SUB|A|' || CAST(mention_id % 20 AS VARCHAR) || '| indeed'
+             ELSE 'no code derived' END AS raw
+      FROM mc WHERE lower(text) NOT LIKE 'rs%' AND NOT contains(clean, '>')))),
+all_c AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+chosen AS (
+  SELECT * FROM (
+    SELECT *, min(priority) OVER (PARTITION BY conv_id, mention_id) AS minp FROM all_c)
+  WHERE priority = minp),
+counts AS (SELECT conv_id, cand, count(*) AS cnt FROM chosen GROUP BY 1, 2)
+SELECT conv_id, mention_id, cand AS linked_id, CAST(priority AS INT) AS hop FROM (
+  SELECT c.conv_id, c.mention_id, c.cand, c.priority, cnt,
+         row_number() OVER (PARTITION BY c.conv_id, c.mention_id
+                            ORDER BY cnt DESC, c.crank ASC, c.cand ASC) AS rn
+  FROM chosen c JOIN counts USING (conv_id, cand))
+WHERE rn = 1
+"""
+
+
 CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
@@ -550,4 +682,5 @@ CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "kg_assemble_events": (kg_assemble_events, KG_ASSEMBLE_SQL),
     "kg_pair_mask": (kg_pair_mask, KG_PAIR_MASK_SQL),
+    "kg_variant_cascade": (kg_variant_cascade, KG_VARIANT_SQL),
 }

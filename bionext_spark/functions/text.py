@@ -8,10 +8,9 @@ is order-insensitive. The codon substitution (F3) is order-SENSITIVE
 kernel-only function applied via a pandas UDF.
 """
 
-from __future__ import annotations
-
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -116,3 +115,26 @@ def scrub_llm_output(model_out: str) -> str:
     if not candidates:
         return "-"
     return candidates[0] if len(candidates) == 1 else candidates[-1]
+
+
+def scrub_llm_output_col(col: Column) -> Column:
+    """F5 as array HOFs (JVM-side): filter raw words containing '|', strip
+    the non-[\\w\\s|+-] chars, pick the single candidate or the last."""
+    cands = F.transform(
+        F.filter(F.split(col, r"\s+"), lambda w: w.contains("|")),
+        lambda w: F.regexp_replace(w, r"[^\w\s\|+-]", ""),
+    )
+    return F.when(F.size(cands) == 0, F.lit("-")).otherwise(F.element_at(cands, -1))
+
+
+def convert_amino_acids_udf():
+    """F3 as an Arrow-batched pandas UDF — the sequential ordered replace
+    cannot be a Spark expression; only the (few) variant mentions that
+    reach the LLM hop ever pass through it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _convert(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: convert_amino_acids(t) if t is not None else None)
+
+    return _convert

@@ -321,6 +321,138 @@ def _nearest_org_anchor(
 
 
 # ---------------------------------------------------------------------------
+# Seq-variant cascade tail (reference src/linker/seq_variant.py:376-505).
+# ---------------------------------------------------------------------------
+
+
+def _variant_candidates(
+    spark: SparkSession,
+    mentions: DataFrame,
+    m: DataFrame,  # key-expanded mention frame (has text_key)
+    c_dict: DataFrame,
+    c_rs: DataFrame,
+    gene_winners_votes: DataFrame,  # (conv_id, mention_id, linked_id, priority)
+    gene_symbols: DataFrame | None,
+    litvar,
+    llm,
+) -> DataFrame:
+    """All SequenceVariant candidate hops as one prioritized frame:
+
+      0 train memory     (engine extension, SURVEY §2)
+      1 rs-prefix        (seq_variant.py:414-416)
+      2 tmVar lexicon    (engine extension)
+      3 LitVar REST      (seq_variant.py:436-444): J4 nearest LINKED gene
+                         anchor (:388-395) → J8 gene_lookup symbol
+                         (:419-420) → F2 mention cleanup (:422-426) →
+                         memoized lookup; the returned rsid LIST becomes
+                         ranked candidates for the doc-level list vote
+                         (:462-486 — same (count, first-in-list) rule as
+                         the engine's majority vote).
+      4 LLM few-shot     (:233-305, 446-453): only for mentions no prior
+                         hop answered; F3 codon→amino rewrite keys the
+                         memoized call, F5 scrub + F4 SUB→Allele rewrite
+                         run on the raw model text downstream.
+    """
+    from bionext_spark.functions.text import (
+        clean_variant_mention_col,
+        convert_amino_acids_udf,
+        rewrite_sub_allele_col,
+        scrub_llm_output_col,
+    )
+
+    base = c_dict.filter(F.col("label") == "SequenceVariant").unionByName(c_rs)
+    if gene_symbols is None or (litvar is None and llm is None):
+        return base
+
+    # J4 (variant flavor): nearest gene WINNER by |Δstart|; strict < keeps
+    # the earliest gene mention on ties (seq_variant.py:388-395 iterates
+    # gene entities in document order with a strict comparison).
+    gene_anchors = (
+        mentions.filter(F.col("label") == "GeneOrGeneProduct")
+        .select("conv_id", "mention_id", F.col("start").alias("g_start"))
+        .join(
+            gene_winners_votes.select(
+                "conv_id", "mention_id", F.col("linked_id").alias("gene_id")
+            ),
+            ["conv_id", "mention_id"],
+        )
+        .select("conv_id", "gene_id", "g_start", F.col("mention_id").alias("g_mid"))
+    )
+    m_var = mentions.filter(F.col("label") == "SequenceVariant").select(
+        "conv_id", "mention_id", "start", "text"
+    )
+    nearest = (
+        m_var.join(gene_anchors, "conv_id")
+        .groupBy("conv_id", "mention_id")
+        .agg(
+            F.min_by(
+                "gene_id",
+                F.struct(F.abs(F.col("start") - F.col("g_start")).alias("d"), F.col("g_mid")),
+            ).alias("gene_id")
+        )
+    )
+    v = m_var.join(nearest, ["conv_id", "mention_id"], "left").join(
+        F.broadcast(gene_symbols), "gene_id", "left"
+    )
+
+    hops = [base]
+    if litvar is not None:
+        # S8 — LitVar hop: requires the anchor to resolve in gene_lookup
+        # (seq_variant.py:419); key = '<F2-cleaned mention> <symbol>'.
+        v_lit = v.filter(F.col("symbol").isNotNull()).withColumn(
+            "key",
+            F.concat_ws(" ", clean_variant_mention_col(F.col("text")), F.col("symbol")),
+        )
+        lit_vals = litvar.lookup(v_lit.select("key"))
+        hops.append(
+            v_lit.join(lit_vals, "key")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "conv_id",
+                "mention_id",
+                F.lit("SequenceVariant").alias("label"),
+                F.posexplode(F.split("value", ",")).alias("rank", "cand"),
+            )
+            .select(
+                "conv_id", "mention_id", "label", "cand",
+                F.col("rank").cast("long").alias("rank"), F.lit(3).alias("priority"),
+            )
+        )
+    if llm is not None:
+        # K5 — LLM hop for mentions no earlier hop answered. The reference
+        # mutates entity text to the cleaned form only inside the
+        # gene_lookup branch (:426) and passes the symbol when resolved,
+        # the raw gene id otherwise.
+        prior = hops[0].select("conv_id", "mention_id")
+        for h in hops[1:]:
+            prior = prior.unionByName(h.select("conv_id", "mention_id"))
+        v_llm = v.join(prior.distinct(), ["conv_id", "mention_id"], "left_anti")
+        llm_text = F.when(
+            F.col("symbol").isNotNull(), clean_variant_mention_col(F.col("text"))
+        ).otherwise(F.col("text"))
+        llm_gene = F.coalesce("symbol", "gene_id", F.lit("-"))
+        amino = convert_amino_acids_udf()
+        v_llm = v_llm.withColumn("key", F.concat_ws("\x00", amino(llm_text), llm_gene))
+        llm_vals = llm.lookup(v_llm.select("key"))
+        hops.append(
+            v_llm.join(llm_vals, "key")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "conv_id",
+                "mention_id",
+                F.lit("SequenceVariant").alias("label"),
+                rewrite_sub_allele_col(scrub_llm_output_col(F.col("value"))).alias("cand"),
+                F.lit(0).cast("long").alias("rank"),
+                F.lit(4).alias("priority"),
+            )
+        )
+    out = hops[0]
+    for h in hops[1:]:
+        out = out.unionByName(h)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Full linker + cleaner.
 # ---------------------------------------------------------------------------
 
@@ -340,6 +472,8 @@ _METHODS = {
     ("SequenceVariant", 0): "train",
     ("SequenceVariant", 1): "rsid",
     ("SequenceVariant", 2): "lexicon",
+    ("SequenceVariant", 3): "litvar",
+    ("SequenceVariant", 4): "llm",
 }
 
 FLAT_EMB_KBS = {
@@ -359,12 +493,21 @@ def run_linker(
     encoder: EncoderAdapter | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     vote_impl: str = "grouped",
+    gene_symbols: DataFrame | None = None,
+    litvar=None,
+    llm=None,
 ) -> DataFrame:
     """mentions → LINKS (same rows + linked_id/method; '-' = unlinked).
 
     ``vote_impl``: 'grouped' (default) fuses hop-selection + majority vote
     into one per-conversation kernel (1 shuffle); 'relational' keeps the
-    pure window+groupBy form. Both produce identical output (tested)."""
+    pure window+groupBy form. Both produce identical output (tested).
+
+    ``gene_symbols`` (J8, reference gene_lookup.json) + ``litvar``/``llm``
+    (MemoizedLookup instances over S8/K5 adapters) enable the deep
+    seq-variant hops (reference seq_variant.py:376-505); with them None
+    (the offline default — the engine core makes no network calls) the
+    variant cascade stops at the tmVar lexicon hop."""
     encoder = encoder or StubEncoder(cfg.embedding_dim)
     mentions = mentions.cache()  # fans into dict join, anchors, final join
 
@@ -477,17 +620,25 @@ def run_linker(
         "cand", F.lit(0).cast("long").alias("rank"), F.lit(2).alias("priority"),
     )
 
-    # --- one hop-selection + one per-label vote for everything non-taxonomy ---
+    # --- one hop-selection + one per-label vote for chem/disease/cell/gene
+    # (variants vote separately below: their deep hops anchor on the gene
+    # WINNERS, mirroring the reference's genes-before-seq_variant pass
+    # order, src/linker/__init__.py:29-40) ---
     combined = (
-        c_dict.filter(F.col("label") != "OrganismTaxon")
-        .unionByName(c_rs)
+        c_dict.filter(~F.col("label").isin("OrganismTaxon", "SequenceVariant"))
         .unionByName(c_gene)
         .unionByName(c_emb_flat)
         .unionByName(c_emb_gene)
     )
-    rest = _vote(combined, per_label=True)
+    rest = _vote(combined, per_label=True).cache()
 
-    all_winners = tax.unionByName(rest)
+    # --- seq-variant cascade tail (seq_variant.py:376-505) ---
+    c_var = _variant_candidates(
+        spark, mentions, m, c_dict, c_rs, rest, gene_symbols, litvar, llm
+    )
+    var_winners = _vote(c_var, per_label=True)
+
+    all_winners = tax.unionByName(rest).unionByName(var_winners)
 
     method_map = F.create_map(
         *[F.lit(x) for (lbl, p), name in _METHODS.items() for x in (f"{lbl}\x00{p}", name)]

@@ -39,6 +39,7 @@ from collections import defaultdict
 from typing import Any
 
 from bionext_spark import kernels as K
+from bionext_spark.functions import text as TF
 from bionext_spark.config import (
     DEFAULT_CONFIG,
     DEFAULT_TAX_ID,
@@ -160,8 +161,13 @@ class Lexicons:
         train: list[dict[str, Any]],
         variants: list[dict[str, Any]],
         dim: int = 16,
+        gene_symbols: list[dict[str, Any]] | None = None,
     ):
         self.dim = dim
+        # J8 — gene_lookup.json analog (seq_variant.py:312-313)
+        self.gene_symbols: dict[str, str] = {
+            r["gene_id"]: r["symbol"] for r in (gene_symbols or [])
+        }
         self.train: dict[tuple[str, str | None, str], list[str]] = defaultdict(list)
         for r in sorted(train, key=lambda r: r["rank"]):
             self.train[(r["label"], r.get("tax_id"), r["text_key"])].append(r["linked_id"])
@@ -205,6 +211,8 @@ def link(
     mentions: list[dict[str, Any]],
     lex: Lexicons,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    litvar_fn: Any = None,
+    llm_fn: Any = None,
 ) -> list[dict[str, Any]]:
     by_conv: dict[str, list[dict[str, Any]]] = defaultdict(list)
     for m in mentions:
@@ -277,7 +285,18 @@ def link(
                 gene_cands[m["mention_id"]] = pred
                 methods[m["mention_id"]] = method
 
-        # --- sequence variants (simplified: train → rs-prefix → lexicon) ---
+        # --- sequence variants: train → rs-prefix → lexicon → LitVar → LLM
+        # (deep hops: seq_variant.py:376-505, enabled when the external
+        # adapters are configured — mirrors run_linker exactly) ---
+        gene_win = _majority_vote(gene_cands)
+        deep = lex.gene_symbols and (litvar_fn is not None or llm_fn is not None)
+        # J4 variant flavor: nearest LINKED gene mention; strict < keeps
+        # the earliest gene in document order on ties (:388-395)
+        gene_anchors = [
+            (gene_win[m["mention_id"]], m["start"], m["mention_id"])
+            for m in ms
+            if m["label"] == "GeneOrGeneProduct" and m["mention_id"] in gene_win
+        ]
         var_cands: dict[int, list[str]] = {}
         for m in (x for x in ms if x["label"] == "SequenceVariant"):
             key = m["text"].lower()
@@ -287,11 +306,35 @@ def link(
                 var_cands[m["mention_id"]], methods[m["mention_id"]] = [key], "rsid"
             elif key in lex.variants:
                 var_cands[m["mention_id"]], methods[m["mention_id"]] = [lex.variants[key]], "lexicon"
+            elif deep:
+                gene_id = (
+                    min(gene_anchors, key=lambda g: (abs(m["start"] - g[1]), g[2]))[0]
+                    if gene_anchors
+                    else None
+                )
+                symbol = lex.gene_symbols.get(gene_id) if gene_id is not None else None
+                got: str | None = None
+                if litvar_fn is not None and symbol is not None:
+                    # S8: key = '<F2-cleaned mention> <symbol>' (:419-444)
+                    got = litvar_fn(f"{TF.clean_variant_mention(m['text'])} {symbol}")
+                if got:
+                    var_cands[m["mention_id"]] = got.split(",")
+                    methods[m["mention_id"]] = "litvar"
+                elif llm_fn is not None:
+                    # K5: cleaned text only when gene_lookup resolved (:426)
+                    llm_text = (
+                        TF.clean_variant_mention(m["text"]) if symbol is not None else m["text"]
+                    )
+                    llm_gene = symbol or gene_id or "-"
+                    raw = llm_fn(f"{TF.convert_amino_acids(llm_text)}\x00{llm_gene}")
+                    pred = TF.rewrite_sub_allele(TF.scrub_llm_output(raw))
+                    var_cands[m["mention_id"]] = [pred]
+                    methods[m["mention_id"]] = "llm"
 
         winners: dict[int, str] = dict(tax_win)
         for lbl_cands in per_label_cands.values():
             winners.update(_majority_vote(lbl_cands))
-        winners.update(_majority_vote(gene_cands))
+        winners.update(gene_win)
         winners.update(_majority_vote(var_cands))
 
         for m in ms:
@@ -419,10 +462,12 @@ def run_pipeline(
     lex: Lexicons,
     tag_lexicon: dict[tuple[str, ...], int],
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    litvar_fn: Any = None,
+    llm_fn: Any = None,
 ) -> dict[str, Any]:
     convs = assemble(transcripts)
     mentions = tag(convs, tag_lexicon, cfg)
-    links = link(mentions, lex, cfg)
+    links = link(mentions, lex, cfg, litvar_fn, llm_fn)
     cleaned = clean(links)
     pairs = make_pairs(cleaned, convs, cfg)
     triples = extract(pairs, cfg)

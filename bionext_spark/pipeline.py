@@ -54,6 +54,8 @@ def run(
     checkpoint_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     input_snapshot: str = "input",
+    litvar=None,
+    llm=None,
 ) -> PipelineResult:
     """transcripts → triples + graph, all stages checkpointed.
 
@@ -87,6 +89,9 @@ def run(
             fixtures.lexicon_variants_df(spark),
             encoder,
             cfg,
+            gene_symbols=fixtures.gene_symbols_df(spark),
+            litvar=litvar,
+            llm=llm,
         )
 
     links, m = cat.run_stage("links", _link, [m.snapshot_id], fp)

@@ -32,6 +32,12 @@ LEXICON_VARIANTS = T.StructType(
         T.StructField("gene_id", T.StringType(), True),
     ]
 )
+GENE_SYMBOLS = T.StructType(
+    [
+        T.StructField("gene_id", T.StringType(), False),
+        T.StructField("symbol", T.StringType(), False),
+    ]
+)
 
 
 def _with_rank(rows: list[dict]) -> list[dict]:
@@ -58,12 +64,19 @@ def lexicon_variants_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(synth.lexicon_variants_rows(), LEXICON_VARIANTS)
 
 
+def gene_symbols_df(spark: SparkSession) -> DataFrame:
+    """J8 — NCBI gene_lookup.json analog (gene_id → symbol), the broadcast
+    side of the seq-variant LitVar/LLM hops (reference seq_variant.py:312)."""
+    return spark.createDataFrame(synth.gene_symbols_rows(), GENE_SYMBOLS)
+
+
 FIXTURE_BUILDERS = {
     "transcripts": transcripts_df,
     "lexicon_concepts": lexicon_concepts_df,
     "lexicon_genes": lexicon_genes_df,
     "train_direct": train_direct_df,
     "lexicon_variants": lexicon_variants_df,
+    "gene_symbols": gene_symbols_df,
 }
 
 

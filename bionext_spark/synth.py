@@ -19,6 +19,7 @@ consume identical inputs.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import random
 from typing import Any
 
@@ -99,6 +100,32 @@ PLANTABLE: list[tuple[str, str]] = (
     + [("rs12345", "SequenceVariant"), ("v600e", "SequenceVariant"), ("c76a", "SequenceVariant")]
 )
 
+# Extra taggable surfaces that only the deep seq-variant hops can resolve
+# (planted via fixed turns appended by generate_transcripts, NOT via the
+# rng, so the random transcript stream is byte-stable across versions):
+# "c76 / T" → F2 clean → LitVar; "GCUAAU 99" → F3 codons → LLM;
+# "GGG var 22" → LLM with no gene anchor in its conversation.
+EXTRA_TAGGABLE: list[tuple[str, str]] = [
+    ("c76 / T", "SequenceVariant"),
+    ("GCUAAU 99", "SequenceVariant"),
+    ("GGG var 22", "SequenceVariant"),
+]
+
+# (conv_id, [turn texts]) appended deterministically after the rng stream.
+# conv9998 has gene + organism anchors (LitVar key gets a real symbol);
+# conv9999 has no gene mention at all (the no-anchor LLM path).
+EXTRA_CONVERSATIONS: list[tuple[str, list[str]]] = [
+    (
+        "conv9998",
+        [
+            "tp53 observed alongside c76 / T in sequencing",
+            "brca1 panel flagged GCUAAU 99 as anomalous",
+            "human subject also carried rs12345 as expected",
+        ],
+    ),
+    ("conv9999", ["isolated GGG var 22 finding lacked gene context"]),
+]
+
 FILLER = (
     "the patient reported that treatment with standard therapy improved "
     "symptoms over several weeks while the care team monitored response and "
@@ -116,7 +143,9 @@ def tag_lexicon_entries() -> list[tuple[str, int]]:
     decides which survive)."""
     from bionext_spark.config import ENTITY_LABELS
 
-    return [(text, ENTITY_LABELS.index(label)) for text, label in PLANTABLE]
+    return [
+        (text, ENTITY_LABELS.index(label)) for text, label in PLANTABLE + EXTRA_TAGGABLE
+    ]
 
 
 def _make_turn(rng: random.Random, planted: list[tuple[str, str]]) -> str:
@@ -162,6 +191,20 @@ def generate_transcripts(
                     "text": _make_turn(rng, planted),
                     "tool": TOOLS[ti % 4],
                     "ts": BASE_TS + dt.timedelta(seconds=60 * ti + ci),
+                }
+            )
+    # Fixed seq-variant-cascade conversations appended WITHOUT touching the
+    # rng, so the random stream above stays byte-stable across versions.
+    for conv_id, texts in EXTRA_CONVERSATIONS:
+        for ti, text in enumerate(texts):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": ti,
+                    "role": ROLES[ti % 3],
+                    "text": text,
+                    "tool": TOOLS[ti % 4],
+                    "ts": BASE_TS + dt.timedelta(seconds=60 * ti),
                 }
             )
     return rows
@@ -219,3 +262,38 @@ def lexicon_variants_rows() -> list[dict[str, Any]]:
 
 def gene_symbols_rows() -> list[dict[str, Any]]:
     return [{"gene_id": g, "symbol": s} for g, s in GENE_SYMBOLS]
+
+
+# --------------------------------------------------------------------------
+# Deterministic external-lookup fakes (S8 LitVar / K5 LLM stand-ins).
+#
+# Pure functions of the lookup key so the Spark adapters, the memo table
+# and the pure-Python oracle all agree bit-for-bit; shaped to exercise
+# every downstream kernel (F2 clean feeds the key, F5 scrub sees multi-
+# word model chatter, F4 rewrites the SUB-without-mutant shape).
+# --------------------------------------------------------------------------
+
+
+def fake_litvar_response(key: str) -> str | None:
+    """key = '<F2-cleaned mention> <gene symbol>' → comma-joined rsids, or
+    None (API found nothing). Deterministic rule: only substitution-shaped
+    mentions (containing '>') resolve — everything else falls through to
+    the LLM hop, like real LitVar autocomplete behaves on non-rs text."""
+    if ">" not in key:
+        return None
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return ",".join(f"rs{(h + i) % 100000}" for i in range((h % 2) + 1))
+
+
+def fake_llm_response(key: str) -> str:
+    """key = '<amino-converted mention>\\x00<gene>' → raw model text. Three
+    deterministic shapes: chatty SUB-without-mutant (F5 scrub + F4
+    rewrite), bare tmVar code (single candidate), and no-code chatter
+    (scrubs to '-')."""
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    pos = h % 1000
+    if h % 3 == 0:
+        return f"Sure! Based on the guidelines, the code is c|SUB|A|{pos}| here."
+    if h % 3 == 1:
+        return f"p|SUB|V|{pos}|E"
+    return "no valid tmVar code can be derived"
