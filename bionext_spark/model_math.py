@@ -1,0 +1,178 @@
+"""Pure-numpy model-head math for the K1/K3 kernels.
+
+The parts of the reference's transformer heads that are plain math — the
+CRF transition constraints + Viterbi decode of the tagger
+(reference src/tagger/model/modeling_bionexttagger.py:158-176, 375-450)
+and the extractor's type-pair relation-logit mask + marker-index gather
+(reference src/extractor/data.py:22-61, 119-121, 360-394;
+modeling_bionextextractor.py:58-80, 190-198) — reimplemented on numpy so
+they are testable in this image (no torch) and shared verbatim by the HF
+adapters when torch IS present: the adapter runs BERT for emissions /
+embeddings, this module does the decode/mask/gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bionext_spark.config import (
+    ENTITY_LABELS,
+    N_BIO_TAGS,
+    RELATION_LABELS,
+    VALID_TYPE_PAIRS,
+)
+
+# reference modeling_bionexttagger.py:111
+LARGE_NEGATIVE = -1e9
+# reference extractor/data.py:169 uses -9e9 for never-seen (type-pair, class)
+RELATION_MASK_NEGATIVE = -9e9
+
+
+# ---------------------------------------------------------------------------
+# K1 — CRF transition constraints + Viterbi decode.
+#
+# Tag layout (config.N_BIO_TAGS = 13): 0 = O, B_k = 2k+1, I_k = 2k+2 for
+# k over ENTITY_LABELS — identical to the reference's indexing
+# (modeling_bionexttagger.py:163-174 iterates ``i*2+1`` / ``i*2+2``).
+# ---------------------------------------------------------------------------
+
+
+def mask_impossible_transitions(
+    start: np.ndarray, end: np.ndarray, trans: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply the reference's structural constraints in place
+    (modeling_bionexttagger.py:158-176):
+
+    * a sequence cannot START at any I tag;
+    * O cannot transition into any I tag;
+    * B_i / I_i cannot transition into I_j for j != i
+      (B_i → I_i stays allowed; anything → B / O stays allowed).
+    """
+    n_ent = (len(start) - 1) // 2
+    for i in range(n_ent):
+        start[i * 2 + 2] = LARGE_NEGATIVE
+        trans[0][i * 2 + 2] = LARGE_NEGATIVE
+        for j in range(n_ent):
+            if j != i:
+                trans[i * 2 + 1][j * 2 + 2] = LARGE_NEGATIVE
+                trans[i * 2 + 2][j * 2 + 2] = LARGE_NEGATIVE
+    return start, end, trans
+
+
+def default_crf_params(num_tags: int = N_BIO_TAGS) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-initialized (then constraint-masked) CRF parameters — the
+    deterministic stand-in when no trained checkpoint supplies them."""
+    start = np.zeros(num_tags)
+    end = np.zeros(num_tags)
+    trans = np.zeros((num_tags, num_tags))
+    return mask_impossible_transitions(start, end, trans)
+
+
+def crf_viterbi(
+    emissions: np.ndarray,  # (seq_len, num_tags)
+    start: np.ndarray,
+    end: np.ndarray,
+    trans: np.ndarray,
+) -> list[int]:
+    """Single-sequence Viterbi decode, exactly the reference recursion
+    (modeling_bionexttagger.py:375-450): score[0] = start + emissions[0];
+    step max over previous tag of (score + trans + emission); end
+    transitions added before the final argmax; backtrace through history.
+    Ties resolve to the LOWEST tag index (numpy argmax first-of-max ==
+    torch.max's first-of-max on CPU)."""
+    seq_len, num_tags = emissions.shape
+    if seq_len == 0:
+        return []
+    score = start + emissions[0]
+    history: list[np.ndarray] = []
+    for i in range(1, seq_len):
+        # (prev_tag, next_tag) score lattice
+        next_score = score[:, None] + trans + emissions[i][None, :]
+        indices = next_score.argmax(axis=0)
+        score = next_score.max(axis=0)
+        history.append(indices)
+    score = score + end
+    best_last = int(score.argmax())
+    best = [best_last]
+    for hist in reversed(history):
+        best_last = int(hist[best_last])
+        best.append(best_last)
+    best.reverse()
+    return best
+
+
+def crf_viterbi_batch(
+    emission_lists: list[np.ndarray],
+    start: np.ndarray,
+    end: np.ndarray,
+    trans: np.ndarray,
+) -> list[list[int]]:
+    return [crf_viterbi(np.asarray(e, dtype=np.float64), start, end, trans) for e in emission_lists]
+
+
+# ---------------------------------------------------------------------------
+# K3 — type-pair relation-logit mask + marker-index gather.
+# ---------------------------------------------------------------------------
+
+# reference extractor/data.py:31 label2idEntity (canonical names only)
+LABEL2ID_ENTITY = {
+    "GeneOrGeneProduct": 0,
+    "DiseaseOrPhenotypicFeature": 1,
+    "ChemicalEntity": 2,
+    "SequenceVariant": 3,
+    "OrganismTaxon": 4,
+    "CellLine": 5,
+}
+
+
+def relation_logit_mask() -> np.ndarray:
+    """(6, 6, 9) additive logit mask: 0.0 where the (entity1_type,
+    entity2_type) pair can carry a non-negative relation, else -9e9 —
+    the engine's deterministic analog of the reference's train-derived
+    mask (extractor/data.py:119-121, 169-170: classes observed for a
+    type pair get 0, everything else a large negative). Negative_Class
+    stays unmasked everywhere so an impossible pair still predicts it."""
+    n_rel = len(RELATION_LABELS)
+    mask = np.full((6, 6, n_rel), RELATION_MASK_NEGATIVE)
+    neg = RELATION_LABELS.index("Negative_Class")
+    mask[:, :, neg] = 0.0
+    for a, b in VALID_TYPE_PAIRS:
+        ia, ib = LABEL2ID_ENTITY[a], LABEL2ID_ENTITY[b]
+        mask[ia, ib, :] = 0.0
+        mask[ib, ia, :] = 0.0
+    return mask
+
+
+def apply_relation_mask(logits: np.ndarray, e1_type: str, e2_type: str, mask: np.ndarray | None = None) -> np.ndarray:
+    """logits + mask[e1][e2] (modeling_bionextextractor.py:190-198)."""
+    m = relation_logit_mask() if mask is None else mask
+    return np.asarray(logits, dtype=np.float64) + m[LABEL2ID_ENTITY[e1_type], LABEL2ID_ENTITY[e2_type]]
+
+
+def marker_indexes(input_ids: np.ndarray, marker_ids: set[int]) -> np.ndarray:
+    """Positions of the [s1]/[s2]/[e1]/[e2] special tokens in a chunk
+    (reference extractor/data.py:360-383, index_type='both')."""
+    ids = np.asarray(input_ids)
+    hit = np.zeros(ids.shape, dtype=bool)
+    for m in marker_ids:
+        hit |= ids == m
+    return np.where(hit)[0]
+
+
+def gather_marker_embeddings(
+    embeddings: np.ndarray,  # (batch, tokens, hidden)
+    indexes: np.ndarray,  # (batch, max_markers), -1 padded
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched gather of the marker-token embeddings with -1 padding →
+    (batch, max_markers, hidden) zeros-padded + boolean validity mask —
+    numpy form of group_embeddings_by_index
+    (modeling_bionextextractor.py:58-80)."""
+    b, t, h = embeddings.shape
+    idx = np.asarray(indexes)
+    valid = idx != -1
+    flat = embeddings.reshape(b * t, h)
+    offset = (np.arange(b) * t)[:, None]
+    sel = np.where(valid, idx + offset, 0)
+    out = flat[sel.reshape(-1)].reshape(b, idx.shape[1], h)
+    out[~valid] = 0.0
+    return out, valid

@@ -55,17 +55,19 @@ def classify_pairs(
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
-            e1s, e2s, chunks, idx = [], [], [], []
-            for i, (e1, e2, marked) in enumerate(
-                zip(pdf["e1_id"], pdf["e2_id"], pdf["marked_text"])
+            e1s, e2s, t1s, t2s, chunks, idx = [], [], [], [], [], []
+            for i, (e1, e2, t1, t2, marked) in enumerate(
+                zip(pdf["e1_id"], pdf["e2_id"], pdf["e1_type"], pdf["e2_type"], pdf["marked_text"])
             ):
                 for ch in K.chunk_marked_text(marked, max_len, e1 != e2):
                     e1s.append(e1)
                     e2s.append(e2)
+                    t1s.append(t1)
+                    t2s.append(t2)
                     chunks.append(ch)
                     idx.append(i)
             if e1s:
-                logits = classifier.classify_batch(e1s, e2s, chunks)
+                logits = classifier.classify_batch(e1s, e2s, chunks, t1s, t2s)
                 for i, (rel, nov) in zip(idx, logits):
                     out["conv_id"].append(pdf["conv_id"].iloc[i])
                     out["e1_id"].append(pdf["e1_id"].iloc[i])
@@ -109,9 +111,10 @@ def classify_pair_spans(
         if left.empty or right.empty:
             return empty_frame()
         doc = right["doc_text"].iloc[0]
-        e1s, e2s, chunks = [], [], []
-        for e1_id, e2_id, spans1, spans2 in zip(
-            left["e1_id"], left["e2_id"], left["spans1"], left["spans2"]
+        e1s, e2s, t1s, t2s, chunks = [], [], [], [], []
+        for e1_id, e2_id, t1, t2, spans1, spans2 in zip(
+            left["e1_id"], left["e2_id"], left["e1_type"], left["e2_type"],
+            left["spans1"], left["spans2"],
         ):
             s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
             s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
@@ -119,10 +122,14 @@ def classify_pair_spans(
             for ch in K.chunk_marked_text(marked, max_len, e1_id != e2_id):
                 e1s.append(e1_id)
                 e2s.append(e2_id)
+                t1s.append(t1)
+                t2s.append(t2)
                 chunks.append(ch)
         if e1s:
             conv = left["conv_id"].iloc[0]
-            for e1, e2, (rel, nov) in zip(e1s, e2s, classifier.classify_batch(e1s, e2s, chunks)):
+            for e1, e2, (rel, nov) in zip(
+                e1s, e2s, classifier.classify_batch(e1s, e2s, chunks, t1s, t2s)
+            ):
                 out["conv_id"].append(conv)
                 out["e1_id"].append(e1)
                 out["e2_id"].append(e2)

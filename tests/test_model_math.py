@@ -1,0 +1,111 @@
+"""K1/K3 model-head math: CRF Viterbi with the reference's transition
+constraints, the type-pair relation-logit mask, and the marker gather —
+pure numpy, verified against brute force and hand-computed cases
+(reference modeling_bionexttagger.py:158-176, 375-450;
+extractor/data.py:22-61; modeling_bionextextractor.py:58-80, 190-198)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from bionext_spark import model_math as MM
+from bionext_spark.config import NEGATIVE_CLASS, RELATION_LABELS
+
+
+def _brute_force(emissions, start, end, trans):
+    seq_len, n = emissions.shape
+    best_score, best_path = -np.inf, None
+    for path in itertools.product(range(n), repeat=seq_len):
+        s = start[path[0]] + emissions[0][path[0]]
+        for i in range(1, seq_len):
+            s += trans[path[i - 1]][path[i]] + emissions[i][path[i]]
+        s += end[path[-1]]
+        if s > best_score:  # strict > == first-of-max tie-break
+            best_score, best_path = s, list(path)
+    return best_path
+
+
+def test_viterbi_matches_brute_force_small():
+    rng = np.random.RandomState(7)
+    start, end, trans = MM.default_crf_params(5)  # 2 entity types: O,B0,I0,B1,I1
+    start = start + rng.randn(5)
+    end = end + rng.randn(5)
+    trans = trans + rng.randn(5, 5)
+    MM.mask_impossible_transitions(start, end, trans)
+    for _ in range(20):
+        T = rng.randint(1, 5)
+        emis = rng.randn(T, 5)
+        assert MM.crf_viterbi(emis, start, end, trans) == _brute_force(emis, start, end, trans)
+
+
+def test_viterbi_respects_constraints_under_adversarial_emissions():
+    """Even when emissions scream 'I' everywhere, the decode never starts
+    at I, never goes O→I, and never crosses I labels."""
+    start, end, trans = MM.default_crf_params()
+    emis = np.full((6, 13), -5.0)
+    emis[:, 2] = 50.0  # I of label 0
+    emis[3:, 4] = 60.0  # I of label 1 later
+    tags = MM.crf_viterbi(emis, start, end, trans)
+    n_ent = 6
+    i_tags = {k * 2 + 2 for k in range(n_ent)}
+    assert tags[0] not in i_tags
+    for a, b in zip(tags, tags[1:]):
+        if b in i_tags:
+            assert a in (b - 1, b)  # only B_k or I_k may precede I_k
+
+
+def test_viterbi_hand_case():
+    # 3 tags toy (O, B, I with 1 entity type); zero params except blocks
+    start, end, trans = MM.default_crf_params(3)
+    emis = np.array([[0.0, 1.0, 5.0], [0.0, 0.0, 2.0], [3.0, 0.0, 0.0]])
+    # t0: I(5) is blocked at start → B(1). t1: B→I allowed (2). t2: O(3).
+    assert MM.crf_viterbi(emis, start, end, trans) == [1, 2, 0]
+
+
+def test_relation_mask_blocks_invalid_pairs():
+    mask = MM.relation_logit_mask()
+    logits = np.zeros(len(RELATION_LABELS))
+    # invalid pair: OrganismTaxon × CellLine → everything except
+    # Negative_Class is -9e9, so argmax must be Negative_Class
+    masked = MM.apply_relation_mask(logits, "OrganismTaxon", "CellLine", mask)
+    assert int(np.argmax(masked)) == NEGATIVE_CLASS
+    # valid pair (both directions): untouched logits
+    for a, b in [("ChemicalEntity", "DiseaseOrPhenotypicFeature"),
+                 ("DiseaseOrPhenotypicFeature", "ChemicalEntity")]:
+        m = MM.apply_relation_mask(logits, a, b, mask)
+        assert (m == logits).all()
+
+
+def test_marker_gather_matches_loop():
+    rng = np.random.RandomState(3)
+    emb = rng.randn(2, 6, 4)
+    idx = np.array([[1, 4, -1], [0, 2, 5]])
+    got, valid = MM.gather_marker_embeddings(emb, idx)
+    for b in range(2):
+        for k in range(3):
+            if idx[b, k] == -1:
+                assert not valid[b, k] and (got[b, k] == 0).all()
+            else:
+                assert valid[b, k] and (got[b, k] == emb[b, idx[b, k]]).all()
+
+
+def test_marker_indexes():
+    ids = np.array([5, 9, 7, 9, 8, 3])
+    assert MM.marker_indexes(ids, {9, 8}).tolist() == [1, 3, 4]
+
+
+def test_hf_adapter_classes_import_clean_and_gated():
+    """Adapter classes exist and fail with a clear message when torch is
+    absent (this image); they must NOT import torch at module import."""
+    from bionext_spark import adapters
+
+    assert hasattr(adapters, "HFTaggerAdapter")
+    assert hasattr(adapters, "HFEncoderAdapter")
+    assert hasattr(adapters, "HFRelationAdapter")
+    if not adapters.hf_adapters_available():
+        for cls in (adapters.HFTaggerAdapter, adapters.HFEncoderAdapter, adapters.HFRelationAdapter):
+            with pytest.raises(RuntimeError, match="torch"):
+                cls("some/checkpoint")
