@@ -68,7 +68,11 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
     # plan grows to hundreds of operators and Catalyst's per-query analysis
     # dominates wall time (in pipeline.run the parquet stage tables provide
     # the same cut durably).
-    convs = assemble_conversations(transcripts).localCheckpoint()
+    # salted two-phase assembly engages from config: conversations longer
+    # than skew_turns_threshold spread over many reducers in phase 1
+    # (north-rule skew handling; output proven identical in tests)
+    seg = cfg.skew_turns_threshold if cfg.salt_buckets > 0 else 0
+    convs = assemble_conversations(transcripts, segment_size=seg).localCheckpoint()
     mentions = run_tagger(convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg).localCheckpoint()
     links = run_linker(
         spark,

@@ -105,30 +105,39 @@ def classify_pair_spans(
                 "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
         )
 
-    def per_conv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        """One call per conv_id hash bucket (NOT per conversation: tiny
+        per-conv frames made the Arrow round-trip overhead the measured
+        bottleneck — the extract stage scaled only ~1.8× from N to 4N).
+        Per-conversation semantics live in the inner groupby; each doc
+        still ships to Python exactly once."""
         out: dict[str, list] = {k: [] for k in (
             "conv_id", "e1_id", "e2_id", "rel_softmax", "novel_raw", "pred_class")}
         if left.empty or right.empty:
             return empty_frame()
-        doc = right["doc_text"].iloc[0]
-        e1s, e2s, t1s, t2s, chunks = [], [], [], [], []
-        for e1_id, e2_id, t1, t2, spans1, spans2 in zip(
-            left["e1_id"], left["e2_id"], left["e1_type"], left["e2_type"],
-            left["spans1"], left["spans2"],
-        ):
-            s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
-            s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
-            marked = K.insert_markers(doc, s1, s2)
-            for ch in K.chunk_marked_text(marked, max_len, e1_id != e2_id):
-                e1s.append(e1_id)
-                e2s.append(e2_id)
-                t1s.append(t1)
-                t2s.append(t2)
-                chunks.append(ch)
+        docs = dict(zip(right["conv_id"], right["doc_text"]))
+        convs_out, e1s, e2s, t1s, t2s, chunks = [], [], [], [], [], []
+        for conv, g in left.groupby("conv_id", sort=False):
+            doc = docs.get(conv)
+            if doc is None:
+                continue
+            for e1_id, e2_id, t1, t2, spans1, spans2 in zip(
+                g["e1_id"], g["e2_id"], g["e1_type"], g["e2_type"],
+                g["spans1"], g["spans2"],
+            ):
+                s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
+                s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
+                marked = K.insert_markers(doc, s1, s2)
+                for ch in K.chunk_marked_text(marked, max_len, e1_id != e2_id):
+                    convs_out.append(conv)
+                    e1s.append(e1_id)
+                    e2s.append(e2_id)
+                    t1s.append(t1)
+                    t2s.append(t2)
+                    chunks.append(ch)
         if e1s:
-            conv = left["conv_id"].iloc[0]
-            for e1, e2, (rel, nov) in zip(
-                e1s, e2s, classifier.classify_batch(e1s, e2s, chunks, t1s, t2s)
+            for conv, e1, e2, (rel, nov) in zip(
+                convs_out, e1s, e2s, classifier.classify_batch(e1s, e2s, chunks, t1s, t2s)
             ):
                 out["conv_id"].append(conv)
                 out["e1_id"].append(e1)
@@ -140,10 +149,14 @@ def classify_pair_spans(
             return empty_frame()
         return pd.DataFrame(out, columns=list(out.keys()))
 
+    n_buckets = spans.sparkSession.sparkContext.defaultParallelism * 8
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
     return (
-        spans.groupBy("conv_id")
-        .cogroup(conversations.select("conv_id", "doc_text").groupBy("conv_id"))
-        .applyInPandas(lambda left, right: per_conv(left, right), _PRED_SCHEMA)
+        bucket(spans).groupBy("_b")
+        .cogroup(bucket(conversations.select("conv_id", "doc_text")).groupBy("_b"))
+        .applyInPandas(lambda left, right: per_bucket(left, right), _PRED_SCHEMA)
     )
 
 

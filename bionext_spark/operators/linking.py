@@ -100,38 +100,57 @@ def majority_vote_grouped(
     corrections: dict[str, str] | None = None,
     per_label: bool = False,
 ) -> DataFrame:
-    """Grouped-kernel form of hop-select + majority_vote: ONE shuffle on
-    conv_id and a per-conversation pandas pass, instead of the window +
-    counts + join + groupBy chain (~4 shuffles). Candidate lists per
-    conversation are small, so the python pass is cheap; outputs are
-    proven equal to the relational form in tests."""
+    """Grouped-kernel form of hop-select + majority_vote: ONE shuffle and
+    a per-conversation pandas pass, instead of the window + counts + join
+    + groupBy chain (~4 shuffles). Outputs are proven equal to the
+    relational form in tests.
+
+    The kernel groups on a conv_id HASH BUCKET, not conv_id itself: per-
+    conversation candidate lists are tiny, so per-group Arrow round-trip
+    overhead dominated when every conversation was its own applyInPandas
+    group (~3 group calls per conversation across the vote passes — the
+    measured reason the linker stage scaled only ~2× from N to 4N cores).
+    Bucketing amortizes that overhead over ~thousands of conversations per
+    python call; the inner pandas groupby preserves per-conversation
+    semantics bit-for-bit."""
     import pandas as pd
 
     has_label = per_label
+    spark = cands.sparkSession
+    n_buckets = spark.sparkContext.defaultParallelism * 8
 
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(
-            zip(
-                pdf["mention_id"],
-                pdf["label"] if has_label else [None] * len(pdf),
-                pdf["cand"],
-                pdf["rank"],
-                pdf["priority"],
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_conv: list[str] = []
+        out_mid: list[int] = []
+        out_id: list[str] = []
+        out_p: list[int] = []
+        for conv, g in pdf.groupby("conv_id", sort=False):
+            rows = list(
+                zip(
+                    g["mention_id"],
+                    g["label"] if has_label else [None] * len(g),
+                    g["cand"],
+                    g["rank"],
+                    g["priority"],
+                )
             )
-        )
-        out = vote_conversation(rows, corrections)
-        conv = pdf["conv_id"].iloc[0]
+            for mid, cand, prio in vote_conversation(rows, corrections):
+                out_conv.append(conv)
+                out_mid.append(int(mid))
+                out_id.append(cand)
+                out_p.append(int(prio))
         return pd.DataFrame(
             {
-                "conv_id": [conv] * len(out),
-                "mention_id": [int(m) for m, _, _ in out],
-                "linked_id": [c for _, c, _ in out],
-                "priority": [int(p) for _, _, p in out],
+                "conv_id": out_conv,
+                "mention_id": pd.Series(out_mid, dtype="int32"),
+                "linked_id": out_id,
+                "priority": pd.Series(out_p, dtype="int32"),
             }
         )
 
-    return cands.groupBy("conv_id").applyInPandas(
-        per_conv, "conv_id string, mention_id int, linked_id string, priority int"
+    bucketed = cands.withColumn("_b", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
+    return bucketed.groupBy("_b").applyInPandas(
+        per_bucket, "conv_id string, mention_id int, linked_id string, priority int"
     )
 
 

@@ -79,18 +79,48 @@ _MARK_SCHEMA = (
 )
 
 
+def _side_spans(this: str, other: str, op: str) -> F.Column:
+    """Span list for one side of a pair from the raw per-side match lists.
+
+    For mention x (keyed by (start, end)): p_this = min part_pos among
+    ``this``-side matches, p_other likewise (∞ when absent); keep x when
+    p_this <op> p_other — the reference's "first matching comma-part
+    decides entity order" loop (extractor/data.py:110-121) as array HOFs
+    over per-pair lists of at most a few hundred elements. Side 1 uses
+    ``<=`` and side 2 strict ``<`` so a part-position tie assigns the
+    mention to entity 1, exactly the old order=1-wins rule."""
+    inf = 999_999_999
+    min_this = (
+        f"aggregate(filter({this}, y -> y.start = x.start AND y.end = x.end), "
+        f"{inf}, (a, y) -> least(a, y.part_pos))"
+    )
+    min_other = (
+        f"aggregate(filter({other}, y -> y.start = x.start AND y.end = x.end), "
+        f"{inf}, (a, y) -> least(a, y.part_pos))"
+    )
+    return F.expr(
+        f"array_sort(array_distinct(transform(filter({this}, x -> "
+        f"{min_this} {op} {min_other}), x -> struct(x.start, x.end))))"
+    )
+
+
 def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
     """J6 (relational part) → one row per pair with the ordered span lists
     of its two entities: (conv_id, e1.., e2.., spans1, spans2).
 
-    The mention-side explode + min-position logic reproduces the
-    reference's first-match-wins entity ordering exactly."""
-    # Join exploded PAIR parts against a per-(conv, part) mention-span
-    # table, so only the mentions that actually share a part with the pair
-    # flow through the shuffle (a pairs×all-conv-mentions join + filter is
-    # ~15× more intermediate rows on entity-rich conversations).
+    Scale shape: mention parts aggregate to ONE list per (conv, part)
+    BEFORE touching pairs, so the pair join and both pair-level groupBys
+    move |pair parts| ≈ 2×|pairs| rows carrying small span arrays — not
+    the |pairs| × |mentions-per-entity| exploded rows of the naive
+    pair-part × mention-part join (measured 17.7M intermediate rows vs
+    1.1M on the sf0.1 bench; that join dominated the stage and throttled
+    N→4N scaling). The first-match-wins entity ordering then resolves
+    per pair inside array HOFs (JVM codegen, no extra shuffle)."""
     mention_parts = clean_links.select(
         "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
+    )
+    part_ms = mention_parts.groupBy("conv_id", "part").agg(
+        F.collect_list(F.struct("start", "end", "part_pos")).alias("ms")
     )
     pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
     pair_parts = pairs.select(
@@ -100,26 +130,15 @@ def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
             *pair_cols, F.lit(2).alias("side"), F.explode(F.split("e2_id", ",")).alias("part")
         )
     )
-    j = pair_parts.join(mention_parts, ["conv_id", "part"])
-    # Per (pair, mention): the first part matching either side decides the
-    # order (reference break at extractor/data.py:110-121).
-    per_mention = j.groupBy(
-        "conv_id", "e1_id", "e1_type", "e2_id", "e2_type", "start", "end"
-    ).agg(
-        F.min(F.when(F.col("side") == 1, F.col("part_pos"))).alias("p1"),
-        F.min(F.when(F.col("side") == 2, F.col("part_pos"))).alias("p2"),
+    j = pair_parts.join(part_ms, ["conv_id", "part"])
+    per_pair = j.groupBy(*pair_cols).agg(
+        F.flatten(F.collect_list(F.when(F.col("side") == 1, F.col("ms")))).alias("raw1"),
+        F.flatten(F.collect_list(F.when(F.col("side") == 2, F.col("ms")))).alias("raw2"),
     )
-    per_mention = per_mention.withColumn(
-        "order",
-        F.when(F.col("p1").isNotNull() & (F.col("p2").isNull() | (F.col("p1") <= F.col("p2"))), 1).otherwise(2),
-    )
-    return per_mention.groupBy("conv_id", "e1_id", "e1_type", "e2_id", "e2_type").agg(
-        F.array_sort(
-            F.collect_list(F.when(F.col("order") == 1, F.struct("start", "end")))
-        ).alias("spans1"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("order") == 2, F.struct("start", "end")))
-        ).alias("spans2"),
+    return per_pair.select(
+        *pair_cols,
+        _side_spans("raw1", "raw2", "<=").alias("spans1"),
+        _side_spans("raw2", "raw1", "<").alias("spans2"),
     )
 
 

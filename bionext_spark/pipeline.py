@@ -69,8 +69,12 @@ def run(
     tagger = StubLexiconTagger(synth.tag_lexicon_entries())
     encoder = StubEncoder(cfg.embedding_dim)
 
+    seg = cfg.skew_turns_threshold if cfg.salt_buckets > 0 else 0
     convs, m = cat.run_stage(
-        "conversations", lambda: assemble_conversations(transcripts), [input_snapshot], fp
+        "conversations",
+        lambda: assemble_conversations(transcripts, segment_size=seg),
+        [input_snapshot],
+        fp,
     )
     manifests["conversations"] = m
 
