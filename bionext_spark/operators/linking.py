@@ -639,25 +639,33 @@ def run_linker(
         "cand", F.lit(0).cast("long").alias("rank"), F.lit(2).alias("priority"),
     )
 
-    # --- one hop-selection + one per-label vote for chem/disease/cell/gene
-    # (variants vote separately below: their deep hops anchor on the gene
+    # --- hop-selection + per-label vote(s) for everything non-taxonomy ---
+    # With the deep seq-variant hops OFF (the offline default), variants
+    # vote in the SAME fused pass as chem/disease/cell/gene — one kernel,
+    # one shuffle (separate per-label votes are provably equivalent, and
+    # an extra vote pass is pure serial stage latency at N cores). With
+    # them ON, variants vote after genes: their hops anchor on the gene
     # WINNERS, mirroring the reference's genes-before-seq_variant pass
-    # order, src/linker/__init__.py:29-40) ---
+    # order (src/linker/__init__.py:29-40).
+    deep = gene_symbols is not None and (litvar is not None or llm is not None)
     combined = (
         c_dict.filter(~F.col("label").isin("OrganismTaxon", "SequenceVariant"))
         .unionByName(c_gene)
         .unionByName(c_emb_flat)
         .unionByName(c_emb_gene)
     )
-    rest = _vote(combined, per_label=True).cache()
-
-    # --- seq-variant cascade tail (seq_variant.py:376-505) ---
-    c_var = _variant_candidates(
-        spark, mentions, m, c_dict, c_rs, rest, gene_symbols, litvar, llm
-    )
-    var_winners = _vote(c_var, per_label=True)
-
-    all_winners = tax.unionByName(rest).unionByName(var_winners)
+    if deep:
+        rest = _vote(combined, per_label=True).cache()
+        c_var = _variant_candidates(
+            spark, mentions, m, c_dict, c_rs, rest, gene_symbols, litvar, llm
+        )
+        var_winners = _vote(c_var, per_label=True)
+        all_winners = tax.unionByName(rest).unionByName(var_winners)
+    else:
+        combined = combined.unionByName(
+            c_dict.filter(F.col("label") == "SequenceVariant")
+        ).unionByName(c_rs)
+        all_winners = tax.unionByName(_vote(combined, per_label=True))
 
     method_map = F.create_map(
         *[F.lit(x) for (lbl, p), name in _METHODS.items() for x in (f"{lbl}\x00{p}", name)]

@@ -42,6 +42,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_catalog_name(spark: SparkSession) -> str | None:
+    """First configured Iceberg catalog (spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog), or None."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return None
+    for k, v in confs:
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+            return k.rsplit(".", 1)[-1]
+    return None
+
+
 @dataclass
 class Manifest:
     stage: str
@@ -51,16 +64,44 @@ class Manifest:
     inputs: list[str]
     config_fingerprint: str
     committed_at: float
+    # Iceberg's own snapshot id for the committed write, when the stage
+    # table lives in an Iceberg catalog (None on the parquet fallback).
+    iceberg_snapshot_id: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2, sort_keys=True)
 
 
 class StageCatalog:
-    def __init__(self, spark: SparkSession, root: str):
+    """``use_iceberg=None`` auto-detects: when the Iceberg runtime jar AND
+    a configured ``spark.sql.catalog.<name>`` are present (a real cluster
+    with ``spark-submit --packages org.apache.iceberg:...``), stage data
+    lands in ``<catalog>.<namespace>.<stage>_<snapshot>`` Iceberg tables
+    via ``writeTo().createOrReplace()`` and the manifest records Iceberg's
+    own snapshot id as an extra checkpoint token; otherwise the parquet
+    layout below ``root`` is used. Manifest JSONs live under ``root``
+    either way, so resume semantics are identical."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        use_iceberg: bool | None = None,
+        namespace: str = "bionext",
+    ):
         self.spark = spark
         self.root = root
+        self.namespace = namespace
+        self.catalog = iceberg_catalog_name(spark)
+        if use_iceberg is None:
+            use_iceberg = iceberg_available(spark) and self.catalog is not None
+        self.use_iceberg = bool(use_iceberg and self.catalog)
+        if self.use_iceberg:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
         os.makedirs(root, exist_ok=True)
+
+    def _iceberg_ident(self, stage: str, snapshot_id: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}_{snapshot_id}"
 
     # -- paths ------------------------------------------------------------
     def _stage_dir(self, stage: str, snapshot_id: str) -> str:
@@ -79,6 +120,8 @@ class StageCatalog:
         return os.path.exists(self._manifest_path(stage, snapshot_id))
 
     def read(self, stage: str, snapshot_id: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._iceberg_ident(stage, snapshot_id))
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage, snapshot_id), "data"))
 
     def read_manifest(self, stage: str, snapshot_id: str) -> Manifest:
@@ -93,8 +136,11 @@ class StageCatalog:
         config_fingerprint: str = "",
         partition_by: str | None = None,
     ) -> tuple[DataFrame, Manifest]:
-        """Write a stage table + manifest atomically (temp dir → rename)."""
+        """Write a stage table + manifest atomically (temp dir → rename on
+        parquet; Iceberg's own atomic commit + manifest rename otherwise)."""
         snap = self.snapshot_id(stage, inputs, config_fingerprint)
+        if self.use_iceberg:
+            return self._write_iceberg(stage, df, inputs, config_fingerprint, snap, partition_by)
         final_dir = self._stage_dir(stage, snap)
         tmp_dir = final_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -132,6 +178,54 @@ class StageCatalog:
         os.makedirs(os.path.dirname(final_dir), exist_ok=True)
         os.rename(tmp_dir, final_dir)
         return self.read(stage, snap), manifest
+
+    def _write_iceberg(
+        self,
+        stage: str,
+        df: DataFrame,
+        inputs: list[str],
+        config_fingerprint: str,
+        snap: str,
+        partition_by: str | None,
+    ) -> tuple[DataFrame, Manifest]:  # pragma: no cover - needs iceberg jar
+        """`writeTo(...).createOrReplace()` (atomic in the catalog), then
+        the Iceberg snapshot id is captured into the manifest as the
+        durable checkpoint token. Manifest JSON placement stays atomic via
+        tmp-file rename, so a crash between the two leaves a readable
+        table but an uncommitted stage — exactly the parquet semantics."""
+        ident = self._iceberg_ident(stage, snap)
+        writer = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(F.bucket(32, partition_by))
+        writer.createOrReplace()
+        written = self.spark.read.table(ident)
+        ice_snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()[0][0]
+        pc_rows = (
+            written.groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+            )
+            .count()
+            .collect()
+        )
+        manifest = Manifest(
+            stage=stage,
+            snapshot_id=snap,
+            row_count=sum(r["count"] for r in pc_rows),
+            partition_counts={str(r["file"]): r["count"] for r in pc_rows},
+            inputs=inputs,
+            config_fingerprint=config_fingerprint,
+            committed_at=time.time(),
+            iceberg_snapshot_id=int(ice_snap),
+        )
+        path = self._manifest_path(stage, snap)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
+        os.rename(tmp, path)
+        return written, manifest
 
     def run_stage(
         self,

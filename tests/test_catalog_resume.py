@@ -59,3 +59,25 @@ def test_pipeline_end_to_end_resume(spark, transcripts, tmp_path):
     # lineage recorded for every stage
     for name, m in r1.manifests.items():
         assert m.row_count >= 0 and isinstance(m.partition_counts, dict), name
+
+
+def test_iceberg_path_gated(spark, tmp_path):
+    """Iceberg code path: auto-detect is OFF in this image (no runtime
+    jar/catalog); the real-catalog write/read is exercised only when the
+    jar is present (skipped here, runs on a cluster)."""
+    import pytest
+
+    from bionext_spark.sources.catalog import (
+        StageCatalog,
+        iceberg_available,
+        iceberg_catalog_name,
+    )
+
+    cat = StageCatalog(spark, str(tmp_path / "ck"))
+    assert cat.use_iceberg is False  # parquet fallback in this image
+    assert cat._iceberg_ident("mentions", "abc") .endswith(".bionext.mentions_abc")
+    if not (iceberg_available(spark) and iceberg_catalog_name(spark)):
+        pytest.skip("iceberg runtime jar/catalog not configured in this image")
+    ice = StageCatalog(spark, str(tmp_path / "ck2"))
+    df, m = ice.run_stage("t", lambda: spark.range(5).toDF("id"), ["in"], "fp")
+    assert m.iceberg_snapshot_id is not None and df.count() == 5
