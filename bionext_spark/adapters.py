@@ -166,7 +166,6 @@ class HFTaggerAdapter:
         return MM.default_crf_params(model.config.num_labels)
 
     def tag_batch(self, token_lists):  # pragma: no cover - needs torch
-        import numpy as np
         import torch
 
         from bionext_spark import model_math as MM
@@ -185,16 +184,8 @@ class HFTaggerAdapter:
         start, end, trans = self._crf_params(model)
         out: list[list[int]] = []
         for bi, toks in enumerate(token_lists):
-            # first-subword emission per word (HF word_ids alignment)
-            word_ids = enc.word_ids(bi)
-            firsts = {}
-            for pos, wid in enumerate(word_ids):
-                if wid is not None and wid not in firsts:
-                    firsts[wid] = pos
-            emis = np.array([logits[bi][firsts[w]] for w in range(len(toks)) if w in firsts])
-            tags = MM.crf_viterbi(emis, start, end, trans)
-            tags += [0] * (len(toks) - len(tags))  # truncated tail → O
-            out.append(tags)
+            emis = MM.first_subword_emissions(enc.word_ids(bi), logits[bi], len(toks))
+            out.append(MM.crf_viterbi(emis, start, end, trans))
         return out
 
 

@@ -159,6 +159,26 @@ def marker_indexes(input_ids: np.ndarray, marker_ids: set[int]) -> np.ndarray:
     return np.where(hit)[0]
 
 
+def first_subword_emissions(
+    word_ids: list[int | None], logits: np.ndarray, n_words: int
+) -> np.ndarray:
+    """K4 alignment — word-level emission matrix from subword logits.
+
+    The HF adapters tokenize with ``is_split_into_words=True`` over the
+    engine's OWN word tokens, so window boundaries and char offsets are
+    pinned to the engine tokenizer regardless of the checkpoint's
+    wordpiece vocab; each word takes its FIRST subword's logits (the
+    reference's BIO head convention). Words truncated away get a zero row
+    (decodes to O under zero-init CRF params)."""
+    out = np.zeros((n_words, logits.shape[1]))
+    seen: set[int] = set()
+    for pos, wid in enumerate(word_ids):
+        if wid is not None and wid < n_words and wid not in seen:
+            out[wid] = logits[pos]
+            seen.add(wid)
+    return out
+
+
 def gather_marker_embeddings(
     embeddings: np.ndarray,  # (batch, tokens, hidden)
     indexes: np.ndarray,  # (batch, max_markers), -1 padded

@@ -98,3 +98,64 @@ def test_softmax_argmax_props(xs):
     # (near-ties can collapse to equal floats under exp/normalize)
     if all(xs[i] - x > 1e-9 for j, x in enumerate(xs) if j != i):
         assert i == K.argmax_first(sm)
+
+
+@given(
+    subword_counts=st.lists(st.integers(1, 4), min_size=1, max_size=40),
+    trunc=st.integers(0, 10),
+)
+@settings(max_examples=200, deadline=None)
+def test_first_subword_alignment_tokenizer_agnostic(subword_counts, trunc):
+    """K4 — word-level emissions are invariant to the checkpoint's subword
+    segmentation: however a wordpiece vocab splits each engine token (1-4
+    subwords here, with optional tail truncation), each word's emission row
+    equals its first subword's logits and truncated words decode to O."""
+    import numpy as np
+
+    from bionext_spark import model_math as MM
+
+    n_words = len(subword_counts)
+    word_ids: list[int | None] = [None]  # [CLS]-style special token
+    for w, c in enumerate(subword_counts):
+        word_ids.extend([w] * c)
+    word_ids.append(None)  # [SEP]
+    if trunc:
+        word_ids = word_ids[: max(1, len(word_ids) - trunc)]
+    rng = np.random.RandomState(0)
+    logits = rng.randn(len(word_ids), 13)
+    emis = MM.first_subword_emissions(word_ids, logits, n_words)
+    firsts: dict[int, int] = {}
+    for pos, wid in enumerate(word_ids):
+        if wid is not None and wid not in firsts:
+            firsts[wid] = pos
+    for w in range(n_words):
+        if w in firsts:
+            assert (emis[w] == logits[firsts[w]]).all()
+        else:
+            assert (emis[w] == 0).all()
+    # zero rows decode to O under the zero-init constraint-masked CRF
+    start, end, trans = MM.default_crf_params()
+    tags = MM.crf_viterbi(emis, start, end, trans)
+    for w in range(n_words):
+        if w not in firsts:
+            assert tags[w] == 0
+
+
+@given(offsets=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 8)), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_span_text_equality_any_tokenizer(offsets):
+    """Per-turn text equality is tokenizer-agnostic: for ANY monotonic
+    token offset map (not just the regex tokenizer's), BIO-decoded span
+    boundaries land on token boundaries of that map, so text slicing
+    reproduces the mention surface regardless of the tokenizer used."""
+    starts, ends, pos = [], [], 0
+    for gap, length in offsets:
+        pos += gap
+        starts.append(pos)
+        pos += length
+        ends.append(pos)
+    tags = [(1 if i % 3 == 0 else 2 if i % 3 == 1 else 0) for i in range(len(starts))]
+    spans = K.decode_bio(tags, starts, ends)
+    bounds = set(starts) | set(ends)
+    for s, e, _ in spans:
+        assert s in bounds and e in bounds and s < e
