@@ -219,8 +219,12 @@ SELECT user_id, event_type AS modal_event FROM (
 
 def a2_softmax_argmax(spark, sf):
     em = t(spark, sf, "embeddings")
-    # softmax per row (no max-subtraction; values are small — the oracle
-    # uses the identical formula so results are bit-equal)
+    # softmax per row. This DRIVER QUERY deliberately skips max-subtraction
+    # (embedding values are small and the DuckDB oracle uses the identical
+    # formula, so results are bit-equal); the PIPELINE kernel
+    # kernels.softmax DOES subtract the max (numerically stable for model
+    # logits) and its oracle shares that formula — two contexts, two
+    # deliberate formulas, don't "unify" them.
     em = em.withColumn("den", F.expr("aggregate(embedding, cast(0 as double), (s, x) -> s + exp(x))"))
     ex = em.select(
         "label", F.posexplode(F.expr("transform(embedding, x -> exp(x))")).alias("pos", "num"), "den"

@@ -203,31 +203,32 @@ def _collect_kb_matrices(concepts: DataFrame, kbs: list[str]) -> dict[str, tuple
 
 def embedding_lookup(
     spark: SparkSession,
-    texts: DataFrame,  # carries text_key + the group column
+    texts: DataFrame,  # carries (grp, text_key)
     concepts: DataFrame,
     kbs_by_group: dict[str, list[str]],
     encoder: EncoderAdapter,
     threshold: float,
-    per_tax: bool = False,
+    dash_groups: frozenset[str] | set[str] = frozenset(),
 ) -> DataFrame:
-    """Encode each distinct (group, text) once, match against broadcast KB
-    matrices (J3 + O4). ``kbs_by_group`` maps the group column value
-    (entity label, or taxon in per-tax mode) to its KB files; per-file
-    argmax > threshold, best across files (chemicals.py:71-94).
+    """Encode each distinct (grp, text) once, match against broadcast KB
+    matrices (J3 + O4). ``kbs_by_group`` maps the grp value (entity label
+    for the flat hops, 'tax:<id>' for the per-taxon gene hop — BOTH hop
+    families resolve in this single kernel pass, one distinct shuffle
+    instead of two) to its KB files; per-file argmax > threshold, best
+    across files (chemicals.py:71-94).
 
-    Returns (group_col, text_key, cand) — ``cand`` is NULL when nothing
-    clears the threshold, except in per-tax (gene) mode where it is '-'
+    Returns (grp, text_key, cand) — ``cand`` is NULL when nothing clears
+    the threshold, except for groups in ``dash_groups`` where it is '-'
     (the reference's gene hop *always* answers when the taxon has an
     embedding file, genes.py:146-151)."""
     all_kbs = sorted({kb for kbs in kbs_by_group.values() for kb in kbs})
     matrices = _collect_kb_matrices(concepts, all_kbs)
-    bc = spark.sparkContext.broadcast((matrices, kbs_by_group))
-    group_col = "tax_id" if per_tax else "label"
-    key_cols = [group_col, "text_key"]
-    out_schema = f"{group_col} string, text_key string, cand string"
+    bc = spark.sparkContext.broadcast((matrices, kbs_by_group, set(dash_groups)))
+    key_cols = ["grp", "text_key"]
+    out_schema = "grp string, text_key string, cand string"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mats, groups = bc.value
+        mats, groups, dash = bc.value
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(cand=pd.Series(dtype=object))[key_cols + ["cand"]]
@@ -235,7 +236,8 @@ def embedding_lookup(
             embs = np.array(encoder.encode_batch(list(pdf["text_key"])), dtype=np.float64)
             cands: list[str | None] = []
             for i in range(len(pdf)):
-                wanted = sorted(groups.get(pdf[group_col].iloc[i], []))
+                grp = pdf["grp"].iloc[i]
+                wanted = sorted(groups.get(grp, []))
                 best: tuple[float, str] | None = None
                 for kb in wanted:
                     if kb not in mats:
@@ -245,7 +247,7 @@ def embedding_lookup(
                     j = int(np.argmax(scores))
                     if scores[j] > threshold and (best is None or scores[j] > best[0]):
                         best = (float(scores[j]), ids[j])
-                cands.append(best[1] if best else ("-" if per_tax else None))
+                cands.append(best[1] if best else ("-" if grp in dash else None))
             yield pdf[key_cols].assign(cand=cands)
 
     return texts.select(*key_cols).distinct().mapInPandas(score, out_schema)
@@ -598,20 +600,16 @@ def run_linker(
         "cand", F.col("rank").cast("long").alias("rank"), "priority",
     )
 
-    # --- embedding hops (O3/O4): only dictionary misses, distinct texts ---
+    # --- embedding hops (O3/O4): only dictionary misses, distinct texts,
+    # BOTH hop families (flat per-label + per-taxon gene) in ONE kernel
+    # pass — the two-pass form cost an extra distinct shuffle + python
+    # stage + join of pure serial latency per run ---
     flat_train_keys = train_direct.filter(
         F.col("label").isin(list(FLAT_EMB_KBS)) & F.col("tax_id").isNull()
     ).select("label", "text_key").distinct()
     m_flat = m.filter(F.col("label").isin(list(FLAT_EMB_KBS))).join(
         F.broadcast(flat_train_keys), ["label", "text_key"], "left_anti"
-    )
-    emb_flat = embedding_lookup(
-        spark, m_flat, lexicon_concepts, FLAT_EMB_KBS, encoder, cfg.similarity_threshold
-    ).filter(F.col("cand").isNotNull())
-    c_emb_flat = m_flat.join(emb_flat, ["label", "text_key"]).select(
-        "conv_id", "mention_id", "label", "cand",
-        F.lit(0).cast("long").alias("rank"), F.lit(1).alias("priority"),
-    )
+    ).withColumn("grp", F.col("label"))
 
     emb_taxa = [
         r["kb"].removeprefix("gene_")
@@ -624,17 +622,26 @@ def run_linker(
         F.broadcast(gene_dict_keys),
         ["tax_id", "text_key"],
         "left_anti",
-    )
-    emb_gene = embedding_lookup(
+    ).withColumn("grp", F.concat(F.lit("tax:"), F.col("tax_id")))
+
+    tax_groups = {f"tax:{t}": [f"gene_{t}"] for t in emb_taxa}
+    emb = embedding_lookup(
         spark,
-        m_gene_emb,
+        m_flat.select("grp", "text_key").unionByName(m_gene_emb.select("grp", "text_key")),
         lexicon_concepts,
-        {t: [f"gene_{t}"] for t in emb_taxa},
+        {**FLAT_EMB_KBS, **tax_groups},
         encoder,
         cfg.similarity_threshold,
-        per_tax=True,
+        dash_groups=set(tax_groups),
+    ).cache()  # tiny (distinct texts); reused by both hop joins below
+
+    c_emb_flat = m_flat.join(
+        emb.filter(F.col("cand").isNotNull()), ["grp", "text_key"]
+    ).select(
+        "conv_id", "mention_id", "label", "cand",
+        F.lit(0).cast("long").alias("rank"), F.lit(1).alias("priority"),
     )
-    c_emb_gene = m_gene_emb.join(emb_gene, ["text_key", "tax_id"]).select(
+    c_emb_gene = m_gene_emb.join(emb, ["grp", "text_key"]).select(
         "conv_id", "mention_id", F.lit("GeneOrGeneProduct").alias("label"),
         "cand", F.lit(0).cast("long").alias("rank"), F.lit(2).alias("priority"),
     )
