@@ -68,6 +68,9 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
     # plan grows to hundreds of operators and Catalyst's per-query analysis
     # dominates wall time (in pipeline.run the parquet stage tables provide
     # the same cut durably).
+    # Arrow batch size for the kernel stages = the model batch size
+    # (reference uses 8/128 on GPU; CPU stubs take larger batches)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.kernel_batch_size))
     # salted two-phase assembly engages from config: conversations longer
     # than skew_turns_threshold spread over many reducers in phase 1
     # (north-rule skew handling; output proven identical in tests)

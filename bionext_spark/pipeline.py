@@ -62,7 +62,8 @@ def run(
     Stage boundaries repartition by conv_id bucket so per-conversation
     stages stay co-located (the `bucket(N, conv_id)` layout from
     SURVEY.md §1.4)."""
-    cat = StageCatalog(spark, checkpoint_dir)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.kernel_batch_size))
+    cat = StageCatalog(spark, checkpoint_dir, bucket_count=cfg.bucket_count)
     fp = _fingerprint(cfg)
     manifests: dict[str, Manifest] = {}
 

@@ -88,10 +88,12 @@ class StageCatalog:
         root: str,
         use_iceberg: bool | None = None,
         namespace: str = "bionext",
+        bucket_count: int = 32,
     ):
         self.spark = spark
         self.root = root
         self.namespace = namespace
+        self.bucket_count = bucket_count
         self.catalog = iceberg_catalog_name(spark)
         if use_iceberg is None:
             use_iceberg = iceberg_available(spark) and self.catalog is not None
@@ -196,7 +198,7 @@ class StageCatalog:
         ident = self._iceberg_ident(stage, snap)
         writer = df.writeTo(ident).using("iceberg")
         if partition_by:
-            writer = writer.partitionedBy(F.bucket(32, partition_by))
+            writer = writer.partitionedBy(F.bucket(self.bucket_count, partition_by))
         writer.createOrReplace()
         written = self.spark.read.table(ident)
         ice_snap = self.spark.sql(

@@ -80,17 +80,22 @@ FIXTURE_BUILDERS = {
 }
 
 
-def write_fixture_tables(spark: SparkSession, base_dir: str, transcripts_rows: list[dict] | None = None) -> dict[str, str]:
+def write_fixture_tables(
+    spark: SparkSession,
+    base_dir: str,
+    transcripts_rows: list[dict] | None = None,
+    bucket_count: int = 32,
+) -> dict[str, str]:
     """Materialize fixtures as parquet; transcripts are bucketed by
-    hash(conv_id) via repartition so downstream per-conversation stages
-    start co-located."""
+    hash(conv_id) via repartition (PipelineConfig.bucket_count) so
+    downstream per-conversation stages start co-located."""
     paths: dict[str, str] = {}
     os.makedirs(base_dir, exist_ok=True)
     for name, builder in FIXTURE_BUILDERS.items():
         df = builder(spark, transcripts_rows) if name == "transcripts" else builder(spark)
         path = os.path.join(base_dir, name)
         if name == "transcripts":
-            df = df.repartition(32, "conv_id")
+            df = df.repartition(bucket_count, "conv_id")
         df.write.mode("overwrite").parquet(path)
         paths[name] = path
     return paths
