@@ -347,9 +347,7 @@ def _nearest_org_anchor(
 
 
 def _variant_candidates(
-    spark: SparkSession,
     mentions: DataFrame,
-    m: DataFrame,  # key-expanded mention frame (has text_key)
     c_dict: DataFrame,
     c_rs: DataFrame,
     gene_winners_votes: DataFrame,  # (conv_id, mention_id, linked_id, priority)
@@ -664,7 +662,7 @@ def run_linker(
     if deep:
         rest = _vote(combined, per_label=True).cache()
         c_var = _variant_candidates(
-            spark, mentions, m, c_dict, c_rs, rest, gene_symbols, litvar, llm
+            mentions, c_dict, c_rs, rest, gene_symbols, litvar, llm
         )
         var_winners = _vote(c_var, per_label=True)
         all_winners = tax.unionByName(rest).unionByName(var_winners)
