@@ -92,35 +92,41 @@ def run_queries() -> tuple[dict[str, float], float]:
     return times, total
 
 
-def measure_cpu_ceiling(n: int, seconds: float = 2.0) -> float:
-    """The VM's own N→4N pure-CPU scaling ceiling, re-measured in the same
-    bench run (all-core frequency scaling makes it < 1.0 on this box; a
-    real cluster adds whole machines instead). Busy-loop throughput with N
-    vs 4N processes; ceiling = thr(4N) / (4 × thr(N))."""
-    import multiprocessing as mp
+def run_ceiling(cores: int, rows: int = 40_000_000_000) -> dict:
+    """Zero-shuffle pure-codegen Spark aggregation at ``cores`` — the
+    same-framework upper bound for N→4N scaling on this VM. No shuffle, no
+    python workers, one wave of equal tasks: anything below 1.0 here is
+    the machine (all-core frequency scaling / memory bandwidth / shared
+    JVM), not the engine. Measured 0.816 on this box — matching the
+    round-1 python busy-loop (0.81)."""
+    from pyspark.sql import functions as F
 
-    def burn(q):
-        import time as _t
+    from bionext_spark.session import get_spark
 
-        end = _t.time() + seconds
-        c = 0
-        while _t.time() < end:
-            c += sum(i * i for i in range(1000))
-        q.put(c)
+    spark = get_spark(f"bench-ceiling-{cores}", cores=cores)
+    spark.range(100_000_000).select(F.avg(F.xxhash64("id"))).collect()  # warmup
+    t0 = time.time()
+    spark.range(rows, numPartitions=cores * 8).select(F.avg(F.xxhash64("id"))).collect()
+    dt = time.time() - t0
+    spark.stop()
+    return {"seconds": dt, "rows": rows}
 
-    def throughput(workers: int) -> float:
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(workers)]
-        for p in ps:
-            p.start()
-        total = sum(q.get() for _ in ps)
-        for p in ps:
-            p.join()
-        return total / seconds
 
-    t_n = throughput(n)
-    t_4n = throughput(4 * n)
-    return round(t_4n / (4.0 * t_n), 3)
+def measure_cpu_ceiling(n: int) -> float:
+    """N→4N ceiling = thr(4N)/(4×thr(N)) of the zero-shuffle Spark job,
+    each core count in a fresh subprocess JVM (same protocol as the KG
+    scaling runs)."""
+    times = {}
+    for cores in (n, 4 * n):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", "ceiling",
+             "--cores", str(cores)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        times[cores] = json.loads(line)["seconds"]
+    return round(times[n] / (4.0 * times[4 * n]), 3)
 
 
 def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000) -> dict:
@@ -202,7 +208,7 @@ def scaling_evidence(n: int, replicate: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", default="full", choices=["full", "kg", "queries", "skew"])
+    ap.add_argument("--phase", default="full", choices=["full", "kg", "queries", "skew", "ceiling"])
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--scaling-n", type=int, default=4)
     ap.add_argument("--replicate", type=int, default=1)
@@ -215,6 +221,9 @@ def main() -> None:
         return
     if args.phase == "skew":
         print(json.dumps(run_skew(args.cores)))
+        return
+    if args.phase == "ceiling":
+        print(json.dumps(run_ceiling(args.cores)))
         return
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -274,9 +283,12 @@ def _write_bench_baseline(result: dict) -> None:
             f"**Scaling efficiency = {s.get('efficiency')}** "
             "(throughput(4N) / (4 × throughput(N)), target ≥ 0.8).",
             "",
-            f"Same-run pure-CPU ceiling of this VM at the same worker counts: "
-            f"**{s.get('cpu_ceiling', 'n/a')}** (busy-loop throughput(4N) / 4×throughput(N); "
-            "all-core frequency scaling). Normalized efficiency = "
+            f"Same-run same-framework ceiling of this VM at the same core counts: "
+            f"**{s.get('cpu_ceiling', 'n/a')}** — a ZERO-shuffle, pure-codegen Spark "
+            "aggregation (spark.range → xxhash64 → avg; no python workers, one wave of "
+            "equal tasks) measured N vs 4N in fresh JVMs. Anything below 1.0 there is "
+            "the box (all-core frequency scaling / memory bandwidth / one shared JVM), "
+            "not the engine. Normalized efficiency = "
             f"**{s.get('efficiency_normalized', 'n/a')}** — the cluster-relevant number, since "
             "4N real executors scale CPUs/memory-bandwidth/disks with the executor count "
             "while this VM holds them fixed.",
@@ -287,13 +299,19 @@ def _write_bench_baseline(result: dict) -> None:
             "understates scaling); per-conversation pair cap 10k",
             "(PipelineConfig.max_pairs_per_conversation).",
             "",
-            "Environment caveats (single shared VM, not a cluster): measured",
-            "pure-CPU scaling of this VM is itself sublinear (a 4→16-worker",
-            "python busy-loop yields 3.25×, i.e. a 0.81 ceiling before any",
-            "framework overhead — frequency scaling under all-core load), and",
-            "run-to-run variance on identical configs is ±15-20%. The",
-            "efficiency above is therefore a lower bound on what the same job",
-            "does on 4N real executors, where CPUs, memory bandwidth and",
+            "Environment caveats (single shared VM, not a cluster): the",
+            "zero-shuffle Spark ceiling above shows this box scales even",
+            "perfectly-parallel JVM compute sublinearly, and run-to-run",
+            "variance on identical configs is ±15-20%. Stage-timeline",
+            "decomposition of a local[16] run (event-log parse, see",
+            "ARCHITECTURE.md round-2 findings): the two dominant stages are",
+            "perfectly parallel (taskSum ≈ 16 × wall); the gap to ideal is a",
+            "~40s constant — ~66 small stages (broadcast builds, lexicon",
+            "distincts, vote shuffles) plus ~11s of driver planning dead time",
+            "— which is independent of core count locally but amortizes on a",
+            "real cluster where data per executor, not per box, is constant.",
+            "The efficiency above is therefore a lower bound on what the same",
+            "job does on 4N real executors, where CPUs, memory bandwidth and",
             "shuffle disks all scale with the executor count.",
         ]
     k = result.get("kg_skew", {})
