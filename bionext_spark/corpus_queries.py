@@ -94,13 +94,17 @@ def dedup_minhash_lsh(spark, sf):
     follows |candidates|, not |corpus|."""
     d = t(spark, sf, "documents")
     # all 8 minima in ONE aggregation (map-side partial combine shrinks the
-    # shuffle from |shingles|×8 rows to |docs| rows of 8 digests)
+    # shuffle from |shingles|×8 rows to |docs| rows of 8 digests); cache
+    # the per-DOC signature table (tiny: one row per doc) so the shingle
+    # explosion underneath runs exactly once — caching per_doc instead of
+    # the 8×|corpus|-row shingle table is what makes this shape viable at
+    # 100 TB
     per_doc = _shingles(d, distinct=False).groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("\x00", F.lit(str(h)), F.col("sh")))).alias(f"mh{h}")
             for h in range(8)
         ]
-    )
+    ).cache()
     sig = per_doc.selectExpr(
         "doc_id",
         "stack(4, "
@@ -113,6 +117,7 @@ def dedup_minhash_lsh(spark, sf):
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
+        .cache()  # small (bucket-bounded); feeds both the doc prune + verify
     )
     # verify over candidate docs only: distinct shingles re-derived for the
     # (few) docs in candidate pairs, never the whole corpus
