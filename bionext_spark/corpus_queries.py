@@ -68,12 +68,17 @@ _SHINGLE_EXPR = (
 )
 
 
-def _shingles(d: DataFrame, k: int = 8, distinct: bool = True) -> DataFrame:
-    """Char-k-gram shingles. ``distinct=False`` skips the dedup shuffle —
-    min-aggregations (minhash signatures) are duplicate-invariant, so the
-    signature pass never pays the full-corpus distinct."""
-    sh = d.select("doc_id", F.explode_outer(F.expr(_SHINGLE_EXPR.format(k=k))).alias("sh"))
-    return sh.distinct() if distinct else sh
+def _shingles(d: DataFrame, k: int = 8) -> DataFrame:
+    """DISTINCT char-k-gram shingles per doc with ZERO shuffle: a
+    (doc_id, shingle) pair is unique iff the shingle is unique within its
+    own document, so array_distinct inside the explode gives exactly the
+    global distinct — no full-corpus dedup exchange (round 1 paid that
+    shuffle AND cached the 8×|corpus|-row result; round 2's first attempt
+    skipped dedup and paid 8 md5s per duplicate occurrence instead)."""
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(F.expr(_SHINGLE_EXPR.format(k=k)))).alias("sh"),
+    )
 
 
 def dedup_minhash_lsh(spark, sf):
@@ -85,26 +90,39 @@ def dedup_minhash_lsh(spark, sf):
     selective. Candidates sharing ≥1 band signature are verified with
     exact jaccard over the char-8-gram shingle sets; emit jaccard ≥ 0.5.
 
-    100 TB shape: the signature pass streams the shingle explosion through
-    ONE map-side-combined aggregation (min is duplicate-invariant, so no
-    distinct and nothing cached — round 1 cached the ~8×|corpus|-row
-    distinct shingle table, which cannot fit at scale). The exact-jaccard
-    verify re-derives shingles ONLY for documents that appear in a
-    candidate pair (semi-join pushdown into the parquet scan), so its cost
-    follows |candidates|, not |corpus|."""
+    100 TB shape — everything per-document stays MAP-SIDE: the distinct
+    shingle set is an array column (array_distinct over the substring
+    expansion, never exploded corpus-wide), each band signature is an
+    array_min over a transform of that array (zero shuffle, map-side
+    projection — no groupBy for signatures at all), and the exact-jaccard
+    verify ships each candidate pair its two shingle ARRAYS (two keyed
+    joins) and intersects them in one array_intersect kernel — no
+    |pairs|×|shingles| exploded join, no corpus-sized cache, cost strictly
+    ∝ |candidates|."""
     d = t(spark, sf, "documents")
-    # all 8 minima in ONE aggregation (map-side partial combine shrinks the
-    # shuffle from |shingles|×8 rows to |docs| rows of 8 digests); cache
-    # the per-DOC signature table (tiny: one row per doc) so the shingle
-    # explosion underneath runs exactly once — caching per_doc instead of
-    # the 8×|corpus|-row shingle table is what makes this shape viable at
-    # 100 TB
-    per_doc = _shingles(d, distinct=False).groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("\x00", F.lit(str(h)), F.col("sh")))).alias(f"mh{h}")
-            for h in range(8)
-        ]
-    ).cache()
+    arrs = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR.format(k=8))).alias("shs")
+    )
+    # All 8 minhash streams from TWO md5s per shingle: a 32-hex digest
+    # yields four independent 8-char windows, so md5(s) + md5('x'||s)
+    # cover 8 hash families at a quarter of the hashing cost; the whole
+    # fold is ONE aggregate expression per doc (one pass over the array,
+    # no groupBy — signatures never shuffle). 'z' > any hex char = +∞.
+    mins = ", ".join(
+        [f"'m{i}', least(acc.m{i}, substring(x.a, {8 * i + 1}, 8))" for i in range(4)]
+        + [f"'m{i + 4}', least(acc.m{i + 4}, substring(x.b, {8 * i + 1}, 8))" for i in range(4)]
+    )
+    init = ", ".join(f"'m{i}', 'zzzzzzzz'" for i in range(8))
+    per_doc = arrs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(shs, s -> struct(md5(s) as a, md5(concat('x', s)) as b)), "
+            f"named_struct({init}), (acc, x) -> named_struct({mins}))"
+        ).alias("mins"),
+    ).select(
+        "doc_id", *[F.col(f"mins.m{i}").alias(f"mh{i}") for i in range(8)]
+    ).localCheckpoint()  # tiny (8×8 chars per doc); a hard plan barrier so
+    # neither the candidate self-join nor AQE re-plans recompute the sweep
     sig = per_doc.selectExpr(
         "doc_id",
         "stack(4, "
@@ -117,27 +135,21 @@ def dedup_minhash_lsh(spark, sf):
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
-        .cache()  # small (bucket-bounded); feeds both the doc prune + verify
-    )
-    # verify over candidate docs only: distinct shingles re-derived for the
-    # (few) docs in candidate pairs, never the whole corpus
-    cand_docs = (
-        cand.select(F.col("doc1").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc2").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingles(d.join(cand_docs, "doc_id", "left_semi")).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
-        .join(sh.alias("s2"), (F.col("doc2") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_inter"))
     )
     j = (
-        inter.join(sizes.selectExpr("doc_id as doc1", "n as n1"), "doc1")
-        .join(sizes.selectExpr("doc_id as doc2", "n as n2"), "doc2")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+        cand.join(arrs.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("shs1")), "doc1")
+        .join(arrs.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("shs2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("n_inter"),
+            (F.size("shs1") + F.size("shs2")).alias("n_sum"),
+        )
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("n_inter") / (F.col("n_sum") - F.col("n_inter"))).alias("jaccard"),
+        )
     )
     return j.filter(F.col("jaccard") >= 0.5).select("doc1", "doc2", "jaccard")
 
@@ -150,10 +162,10 @@ WITH pos AS (
 sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos),
 per_doc AS (
   SELECT doc_id,
-         min(md5('0' || chr(0) || sh)) AS mh0, min(md5('1' || chr(0) || sh)) AS mh1,
-         min(md5('2' || chr(0) || sh)) AS mh2, min(md5('3' || chr(0) || sh)) AS mh3,
-         min(md5('4' || chr(0) || sh)) AS mh4, min(md5('5' || chr(0) || sh)) AS mh5,
-         min(md5('6' || chr(0) || sh)) AS mh6, min(md5('7' || chr(0) || sh)) AS mh7
+         min(substr(md5(sh), 1, 8)) AS mh0, min(substr(md5(sh), 9, 8)) AS mh1,
+         min(substr(md5(sh), 17, 8)) AS mh2, min(substr(md5(sh), 25, 8)) AS mh3,
+         min(substr(md5('x' || sh), 1, 8)) AS mh4, min(substr(md5('x' || sh), 9, 8)) AS mh5,
+         min(substr(md5('x' || sh), 17, 8)) AS mh6, min(substr(md5('x' || sh), 25, 8)) AS mh7
   FROM sh GROUP BY doc_id),
 sig AS (
   SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS minhash FROM per_doc
