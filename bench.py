@@ -118,14 +118,17 @@ def measure_cpu_ceiling(n: int) -> float:
     scaling runs)."""
     times = {}
     for cores in (n, 4 * n):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", "ceiling",
-             "--cores", str(cores)],
-            capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        times[cores] = json.loads(line)["seconds"]
+        runs = []
+        for _ in range(2):  # best-of-2, same as the KG runs (±15-20% VM noise)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", "ceiling",
+                 "--cores", str(cores)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            runs.append(json.loads(line)["seconds"])
+        times[cores] = min(runs)
     return round(times[n] / (4.0 * times[4 * n]), 3)
 
 

@@ -58,3 +58,53 @@ def test_linker_dictionary_join_is_broadcast(spark, transcripts):
         StubEncoder(),
     )
     assert uses_broadcast_join(links)
+
+
+def test_topk_uses_take_ordered_not_global_window(spark):
+    """The ANN/near-dup top-k queries must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge), never a single-partition global
+    window — the round-1 scale-killer this round removed."""
+    from bionext_spark.corpus_queries import (
+        ann_lsh_bucket,
+        ann_topk_cosine,
+        dedup_embedding_cosine,
+    )
+    from bionext_spark.plans import physical_plan
+
+    for fn in (ann_topk_cosine, ann_lsh_bucket, dedup_embedding_cosine):
+        plan = physical_plan(fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_pair_generation_single_shuffle_and_bounded(spark):
+    """generate_pairs: one Exchange (the conv_id groupBy) and an
+    adversarial entity-rich conversation never materializes pairs past the
+    two-level cap."""
+    from pyspark.sql import functions as F
+
+    from bionext_spark.config import PipelineConfig
+    from bionext_spark.operators.pairs import generate_pairs
+    from bionext_spark.plans import physical_plan
+
+    # 5000 distinct gene ids in ONE conversation → raw pairs ~12.5M
+    links = spark.range(5000).select(
+        F.lit("conv_adv").alias("conv_id"),
+        F.concat(F.lit("g"), F.col("id")).alias("linked_id"),
+        F.lit("GeneOrGeneProduct").alias("label"),
+        F.col("id").cast("int").alias("start"),
+        (F.col("id") + 1).cast("int").alias("end"),
+    )
+    cfg = PipelineConfig(max_pairs_per_conversation=100, max_entities_per_conversation=64)
+    pairs = generate_pairs(links, cfg)
+    plan = physical_plan(pairs)
+    assert plan.count("Exchange") == 1, plan
+    rows = {(r["e1_id"], r["e2_id"]) for r in pairs.collect()}
+    # expected: entity pre-cap = first 64 ids in string sort order, then
+    # the first 100 pairs of the lexicographic enumeration
+    ents = sorted(f"g{i}" for i in range(5000))[:64]
+    expected = [
+        (ents[i], ents[j])
+        for i in range(len(ents))
+        for j in range(i + 1, len(ents))
+    ][:100]
+    assert rows == set(expected)
