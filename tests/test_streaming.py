@@ -28,3 +28,72 @@ def test_incremental_ingest(spark, transcripts_rows, tmp_path):
     before = sum(seen)
     run_incremental(spark, in_dir, str(tmp_path / "ckpt"), process)
     assert sum(seen) == before
+
+
+def test_windowed_turn_counts_with_watermark(spark, transcripts_rows, tmp_path):
+    """Watermarked tumbling windows: streaming totals equal the batch
+    computation of the same windows once the availableNow drain finishes."""
+    from pyspark.sql import functions as F
+
+    from bionext_spark.sources.fixtures import transcripts_df
+    from bionext_spark.streaming import stream_transcripts, windowed_turn_counts
+
+    in_dir = str(tmp_path / "in_w")
+    transcripts_df(spark, transcripts_rows).repartition(4).write.parquet(in_dir)
+    q = (
+        windowed_turn_counts(stream_transcripts(spark, in_dir))
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["role"]): (r["n_turns"])
+        for r in spark.table("win_counts").collect()
+    }
+    exp_rows = (
+        transcripts_df(spark, transcripts_rows)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .collect()
+    )
+    exp = {(r["win"]["start"], r["role"]): r["n_turns"] for r in exp_rows}
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match the batch value, and most windows close on drain
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_stateful_conversation_progress(spark, transcripts_rows, tmp_path):
+    """applyInPandasWithState: running per-conversation turn counts; the
+    final emitted count per conversation equals the batch turn count."""
+    from collections import defaultdict
+
+    from bionext_spark.sources.fixtures import transcripts_df
+    from bionext_spark.streaming import stateful_conversation_progress, stream_transcripts
+
+    in_dir = str(tmp_path / "in_s")
+    transcripts_df(spark, transcripts_rows).repartition(4).write.parquet(in_dir)
+    q = (
+        stateful_conversation_progress(stream_transcripts(spark, in_dir))
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("conv_progress").collect()
+    last: dict[str, int] = {}
+    for r in rows:
+        if not r["closed"]:
+            last[r["conv_id"]] = max(last.get(r["conv_id"], 0), r["n_turns"])
+    exp = defaultdict(int)
+    for t in transcripts_rows:
+        exp[t["conv_id"]] += 1
+    assert last == dict(exp)
