@@ -323,21 +323,32 @@ def _nearest_org_anchor(
 ) -> DataFrame:
     """J4 — nearest linked organism whose taxon exists in the gene KB
     (strict < keeps the earliest organism on distance ties,
-    genes.py:107-130); default '9606' when none."""
+    genes.py:107-130); default '9606' when none.
+
+    One LEFT join + one aggregate: the mention's payload columns ride the
+    group as first() aggregates, so there is no groupBy-then-join-back
+    round trip (that shape cost an extra shuffle of every gene mention —
+    pure serial latency on the linker's critical path). Anchor-less
+    conversations survive the left join with a NULL org_tax → min_by
+    yields NULL → the default taxon."""
     known_taxa = genes_kb.select(F.col("tax_id").alias("org_tax")).distinct()
     anchors = linked_orgs.join(F.broadcast(known_taxa), "org_tax")
-    nearest = (
-        m_gene.join(anchors, "conv_id")
+    return (
+        m_gene.join(anchors, "conv_id", "left")
         .groupBy("conv_id", "mention_id")
         .agg(
-            F.min_by(
-                "org_tax",
-                F.struct(F.abs(F.col("start") - F.col("org_start")).alias("d"), F.col("org_start")),
-            ).alias("tax_id")
+            F.first("text_key").alias("text_key"),
+            F.first("start").alias("start"),
+            F.coalesce(
+                F.min_by(
+                    "org_tax",
+                    F.struct(
+                        F.abs(F.col("start") - F.col("org_start")).alias("d"), F.col("org_start")
+                    ),
+                ),
+                F.lit(DEFAULT_TAX_ID),
+            ).alias("tax_id"),
         )
-    )
-    return m_gene.join(nearest, ["conv_id", "mention_id"], "left").withColumn(
-        "tax_id", F.coalesce("tax_id", F.lit(DEFAULT_TAX_ID))
     )
 
 
