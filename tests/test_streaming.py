@@ -97,3 +97,64 @@ def test_stateful_conversation_progress(spark, transcripts_rows, tmp_path):
     for t in transcripts_rows:
         exp[t["conv_id"]] += 1
     assert last == dict(exp)
+
+
+def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
+    """Late-data semantics: the watermark persisted in the streaming
+    checkpoint carries across availableNow drains, so rows arriving a
+    drain later but older than the watermark are dropped from the
+    windowed aggregation (no 11:00 window ever materializes)."""
+    import datetime as dt
+
+    from bionext_spark import schemas
+    from bionext_spark.streaming import stream_transcripts, windowed_turn_counts
+
+    in_dir = str(tmp_path / "in_late")
+    ck = str(tmp_path / "ckpt_late")
+
+    def rows(ts_list):
+        return [
+            ("c1", i, "user", "hello", None, ts) for i, ts in enumerate(ts_list)
+        ]
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    out_dir = str(tmp_path / "out_late")
+
+    def drain(_name):
+        # file sink: the only append sink that supports checkpoint recovery
+        q = (
+            windowed_turn_counts(stream_transcripts(spark, in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    # drain 1: on-time rows 12:00-13:00 → watermark ≈ 12:55
+    spark.createDataFrame(
+        rows([base + dt.timedelta(minutes=m) for m in (0, 20, 40, 60)]),
+        schemas.TRANSCRIPTS,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain("late_a")
+
+    # drain 2: one LATE row at 11:00 (an hour behind the watermark) plus
+    # an on-time row at 13:10 that advances the clock
+    spark.createDataFrame(
+        rows([base - dt.timedelta(minutes=60), base + dt.timedelta(minutes=70)]),
+        schemas.TRANSCRIPTS,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    out = drain("late_b")
+
+    eleven = base - dt.timedelta(minutes=60)
+    assert all(r["window_start"] != eleven for r in out), out
+    # the on-time windows that closed carry the correct on-time counts
+    for r in out:
+        assert r["n_turns"] >= 1 and r["window_start"] >= base
