@@ -306,18 +306,73 @@ def chunk_ranges(n_tokens: int, chunk_len: int) -> list[tuple[int, int]]:
 _MARKER_TOKEN_RE = re.compile(r"\[[se][12]\]|\w+|[^\w\s]")
 
 
-def chunk_marked_text(marked: str, chunk_len: int, both_required: bool) -> list[str]:
-    """Token chunks of a marked pair text. When ``both_required`` (distinct
-    entity ids) only chunks containing both a [s1] and a [s2] marker are
-    kept (P4, reference src/extractor/data.py:369-376); when the pair is a
+def chunk_tokens(toks: list[str], chunk_len: int, both_required: bool) -> list[str]:
+    """Chunk a marked token stream. When ``both_required`` (distinct entity
+    ids) only chunks containing both a [s1] and a [s2] marker are kept
+    (P4, reference src/extractor/data.py:369-376); when the pair is a
     same-id cross-type pair (entity1 == entity2) the reference applies NO
-    marker filter and classifies every chunk — mirrored here. Markers
-    tokenize atomically, like the reference's added special tokens
-    (src/extractor/data.py:346-356)."""
-    toks = _MARKER_TOKEN_RE.findall(marked)
+    marker filter and classifies every chunk — mirrored here."""
     chunks: list[str] = []
     for lo, hi in chunk_ranges(len(toks), chunk_len):
         piece = toks[lo:hi]
         if not both_required or ("[s1]" in piece and "[s2]" in piece):
             chunks.append(" ".join(piece))
     return chunks
+
+
+def chunk_marked_text(marked: str, chunk_len: int, both_required: bool) -> list[str]:
+    """Token chunks of a marked pair text. Markers tokenize atomically,
+    like the reference's added special tokens
+    (src/extractor/data.py:346-356)."""
+    return chunk_tokens(_MARKER_TOKEN_RE.findall(marked), chunk_len, both_required)
+
+
+def _straddles(starts: list[int], ends: list[int], p: int) -> bool:
+    """True when char position p falls strictly inside some token."""
+    import bisect
+
+    k = bisect.bisect_right(starts, p) - 1
+    return k >= 0 and starts[k] < p < ends[k]
+
+
+def marked_tokens_from_doc(
+    starts: list[int],
+    ends: list[int],
+    tokens: list[str],
+    spans1: Sequence[tuple[int, int]],
+    spans2: Sequence[tuple[int, int]],
+) -> list[str] | None:
+    """Token stream of ``insert_markers(doc, spans1, spans2)`` WITHOUT
+    re-tokenizing the marked string — the classifier kernel tokenizes each
+    conversation's doc ONCE and splices marker tokens per pair (the
+    re-tokenization regex was ~40% of the kernel's python time; docs are
+    shared by many pairs).
+
+    Exact-equality preconditions, returns None (caller falls back to the
+    string path) when violated: spans disjoint and every span boundary on
+    a token boundary or whitespace — a boundary strictly inside a token
+    would make the marker SPLIT that token in the string form."""
+    import bisect
+
+    edits = [(s, e, "[s1]", "[e1]") for s, e in spans1]
+    edits += [(s, e, "[s2]", "[e2]") for s, e in spans2]
+    edits.sort(key=lambda x: (x[0], x[1]))
+    for i in range(len(edits) - 1):
+        if edits[i][1] > edits[i + 1][0]:
+            return None
+    out: list[str] = []
+    pos = 0
+    for s, e, om, cm in edits:
+        if _straddles(starts, ends, s) or _straddles(starts, ends, e):
+            return None
+        i = bisect.bisect_left(starts, s)
+        j = bisect.bisect_right(ends, e)
+        if j < i:
+            return None
+        out += tokens[pos:i]
+        out.append(om)
+        out += tokens[i:j]
+        out.append(cm)
+        pos = j
+    out += tokens[pos:]
+    return out

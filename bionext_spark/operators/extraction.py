@@ -121,14 +121,33 @@ def classify_pair_spans(
             doc = docs.get(conv)
             if doc is None:
                 continue
+            # tokenize the doc ONCE per conversation; each pair splices its
+            # marker tokens in token space (K.marked_tokens_from_doc) —
+            # re-tokenizing the marked string per pair was ~40% of this
+            # kernel's python time. Falls back to the string path when a
+            # span boundary doesn't align with token boundaries (exactness
+            # precondition; never happens for tagger-produced spans).
+            # a doc that literally contains marker text tokenizes
+            # differently under the marker-aware regex → string path only
+            fast_ok = not any(m in doc for m in ("[s1]", "[s2]", "[e1]", "[e2]"))
+            t_starts, t_ends, t_toks = K.tokenize(doc) if fast_ok else ([], [], [])
             for e1_id, e2_id, t1, t2, spans1, spans2 in zip(
                 g["e1_id"], g["e2_id"], g["e1_type"], g["e2_type"],
                 g["spans1"], g["spans2"],
             ):
                 s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
                 s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
-                marked = K.insert_markers(doc, s1, s2)
-                for ch in K.chunk_marked_text(marked, max_len, e1_id != e2_id):
+                toks = (
+                    K.marked_tokens_from_doc(t_starts, t_ends, t_toks, s1, s2)
+                    if fast_ok
+                    else None
+                )
+                if toks is not None:
+                    pair_chunks = K.chunk_tokens(toks, max_len, e1_id != e2_id)
+                else:
+                    marked = K.insert_markers(doc, s1, s2)
+                    pair_chunks = K.chunk_marked_text(marked, max_len, e1_id != e2_id)
+                for ch in pair_chunks:
                     convs_out.append(conv)
                     e1s.append(e1_id)
                     e2s.append(e2_id)

@@ -159,3 +159,36 @@ def test_span_text_equality_any_tokenizer(offsets):
     bounds = set(starts) | set(ends)
     for s, e, _ in spans:
         assert s in bounds and e in bounds and s < e
+
+
+@given(
+    words=st.lists(st.sampled_from(["alpha", "beta9", "x", ",", "tp53", "-"]), min_size=1, max_size=40),
+    picks=st.lists(st.tuples(st.integers(0, 39), st.booleans()), max_size=6),
+    chunk_len=st.integers(4, 64),
+)
+@settings(max_examples=300, deadline=None)
+def test_marked_tokens_fast_path_equals_string_path(words, picks, chunk_len):
+    """Token-splice marker insertion (classifier kernel fast path) produces
+    exactly chunk_marked_text(insert_markers(...)) for token-aligned,
+    disjoint spans — the only spans the tagger can produce."""
+    doc = " ".join(words)
+    starts, ends, toks = K.tokenize(doc)
+    # build disjoint token-aligned spans from picked token indices
+    idx = sorted({i % len(toks) for i, _ in picks})
+    spans1, spans2 = [], []
+    for (i, side), ti in zip(picks, idx):
+        spans1.append((starts[ti], ends[ti])) if side else spans2.append((starts[ti], ends[ti]))
+    fast = K.marked_tokens_from_doc(starts, ends, toks, spans1, spans2)
+    assert fast is not None
+    marked = K.insert_markers(doc, spans1, spans2)
+    for br in (True, False):
+        assert K.chunk_tokens(fast, chunk_len, br) == K.chunk_marked_text(marked, chunk_len, br)
+
+
+def test_marked_tokens_fast_path_rejects_unaligned():
+    doc = "alpha beta gamma"
+    starts, ends, toks = K.tokenize(doc)
+    # span boundary strictly inside the token "beta"
+    assert K.marked_tokens_from_doc(starts, ends, toks, [(7, 10)], []) is None
+    # overlapping spans
+    assert K.marked_tokens_from_doc(starts, ends, toks, [(0, 5)], [(2, 10)]) is None
