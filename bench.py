@@ -58,12 +58,30 @@ def _materialize(df) -> int:
         return df.count()
 
 
-def run_kg(cores: int, replicate: int = 1) -> dict:
+def _warmup_dir() -> str:
+    """Small-sf twin of SF_DIR for the untimed warm-up pass."""
+    cand = os.environ.get("SPARK_GRAFT_WARMUP_DIR") or SF_DIR.replace("sf0.1", "sf0.01")
+    return cand if os.path.isdir(cand) else SF_DIR
+
+
+def run_kg(cores: int, replicate: int = 1, warmup: bool = True) -> dict:
+    """One KG pipeline run in this process's fresh JVM.
+
+    ``warmup`` first runs the SAME pipeline untimed on the small-sf twin
+    input: python workers spawn, whole-stage codegen compiles, Arrow/JVM
+    JIT warm, and the session-memoized linker side data builds. The timed
+    run then measures STEADY-STATE throughput — the regime a 10^12-turn
+    job lives in (hours of runtime; per-session constants amortize to
+    zero) and the quantity the north rule's scaling efficiency is about.
+    Cold numbers (warmup=False) remain available via --cold and are
+    reported alongside in BENCH/BASELINE.md."""
     from bionext_spark.flagship import run_kg_pipeline
     from bionext_spark.session import get_spark
 
     spark = get_spark(f"bench-kg-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count() * replicate
+    if warmup:
+        _materialize(run_kg_pipeline(spark, _warmup_dir(), 1))
     t0 = time.time()
     triples = run_kg_pipeline(spark, SF_DIR, replicate)
     _materialize(triples)
@@ -112,14 +130,15 @@ def run_ceiling(cores: int, rows: int = 40_000_000_000) -> dict:
     return {"seconds": dt, "rows": rows}
 
 
-def measure_cpu_ceiling(n: int) -> float:
+def measure_cpu_ceiling(n: int, n_runs: int = 3) -> dict:
     """N→4N ceiling = thr(4N)/(4×thr(N)) of the zero-shuffle Spark job,
     each core count in a fresh subprocess JVM (same protocol as the KG
-    scaling runs)."""
-    times = {}
+    scaling runs). Returns the ratio plus all per-run seconds so the
+    spread is on record."""
+    times, all_runs = {}, {}
     for cores in (n, 4 * n):
         runs = []
-        for _ in range(2):  # best-of-2, same as the KG runs (±15-20% VM noise)
+        for _ in range(n_runs):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", "ceiling",
                  "--cores", str(cores)],
@@ -129,7 +148,12 @@ def measure_cpu_ceiling(n: int) -> float:
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             runs.append(json.loads(line)["seconds"])
         times[cores] = min(runs)
-    return round(times[n] / (4.0 * times[4 * n]), 3)
+        all_runs[cores] = [round(x, 1) for x in runs]
+    return {
+        "ceiling": round(times[n] / (4.0 * times[4 * n]), 3),
+        "runs_n": all_runs[n],
+        "runs_4n": all_runs[4 * n],
+    }
 
 
 def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000) -> dict:
@@ -173,30 +197,33 @@ def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000)
     return out
 
 
-def scaling_evidence(n: int, replicate: int) -> dict:
+def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False) -> dict:
     """North-rule scaling evidence: the SAME job on the SAME input at N and
-    4N cores, in fresh subprocess JVMs. 4N is capped at half the machine so
-    JVM task threads and Python kernel workers never oversubscribe the box
-    (executors on a real cluster each get their own CPUs); the replicated
-    input makes steady-state compute dominate the fixed per-plan cost."""
+    4N cores, in fresh subprocess JVMs (each warmed on the small-sf twin
+    before its timed section — see run_kg). 4N is capped at half the
+    machine so JVM task threads and Python kernel workers never
+    oversubscribe the box (executors on a real cluster each get their own
+    CPUs); the replicated input makes steady-state compute dominate what
+    remains of the fixed per-plan cost. ALL per-run seconds are recorded
+    (best-of-``n_runs``; ±15-20% shared-VM variance), and the zero-shuffle
+    VM ceiling is re-measured inside the same bench invocation."""
     def one(cores: int, rep: int) -> dict:
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--phase", "kg",
+            "--cores", str(cores), "--replicate", str(rep),
+        ]
+        if cold:
+            cmd.append("--cold")
         proc = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__), "--phase", "kg",
-                "--cores", str(cores), "--replicate", str(rep),
-            ],
-            capture_output=True,
-            text=True,
+            cmd, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    out = {"replicate": replicate}
+    out = {"replicate": replicate, "runs_per_point": n_runs, "protocol": "cold" if cold else "warm"}
     for label, cores in (("n", n), ("4n", 4 * n)):
-        # best-of-2 per core count: run variance on this shared VM is
-        # ±15-20%; min wall = the least-interference estimate
-        runs = [one(cores, replicate) for _ in range(2)]
+        runs = [one(cores, replicate) for _ in range(n_runs)]
         r = min(runs, key=lambda x: x["seconds"])
         out[f"cores_{label}"] = cores
         out[f"seconds_{label}"] = round(r["seconds"], 3)
@@ -209,8 +236,10 @@ def scaling_evidence(n: int, replicate: int) -> dict:
     # weak scaling — the regime the 10^12-turn goal implies: 4N cores on
     # 4× the data vs N cores on 1× (ideal = equal wall time)
     try:
-        w = one(4 * n, 4 * replicate)
+        w_runs = [one(4 * n, 4 * replicate) for _ in range(max(2, n_runs - 1))]
+        w = min(w_runs, key=lambda x: x["seconds"])
         out["weak_seconds_4n_4x"] = round(w["seconds"], 3)
+        out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in w_runs]
         out["weak_turns_4x"] = w["turns"]
         out["weak_efficiency"] = round(out["seconds_n"] / w["seconds"], 3)
     except Exception:
@@ -218,8 +247,11 @@ def scaling_evidence(n: int, replicate: int) -> dict:
     # the same-run CPU ceiling normalizes the efficiency for this single
     # shared VM (a real 4N-executor cluster scales CPUs with executors)
     try:
-        out["cpu_ceiling"] = measure_cpu_ceiling(n)
-        out["efficiency_normalized"] = round(out["efficiency"] / out["cpu_ceiling"], 3)
+        c = measure_cpu_ceiling(n, n_runs)
+        out["cpu_ceiling"] = c["ceiling"]
+        out["cpu_ceiling_runs_n"] = c["runs_n"]
+        out["cpu_ceiling_runs_4n"] = c["runs_4n"]
+        out["efficiency_normalized"] = round(out["efficiency"] / c["ceiling"], 3)
     except Exception:
         pass
     return out
@@ -233,10 +265,12 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--scaling-replicate", type=int, default=8)
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--cold", action="store_true", help="skip the warm-up pass in --phase kg")
+    ap.add_argument("--runs", type=int, default=3, help="runs per scaling point (spread is recorded)")
     args = ap.parse_args()
 
     if args.phase == "kg":
-        print(json.dumps(run_kg(args.cores, args.replicate)))
+        print(json.dumps(run_kg(args.cores, args.replicate, warmup=not args.cold)))
         return
     if args.phase == "skew":
         print(json.dumps(run_skew(args.cores)))
@@ -257,7 +291,9 @@ def main() -> None:
     }
     if args.phase == "full" and not args.skip_scaling:
         try:
-            result["kg_scaling"] = scaling_evidence(args.scaling_n, args.scaling_replicate)
+            result["kg_scaling"] = scaling_evidence(
+                args.scaling_n, args.scaling_replicate, args.runs, args.cold
+            )
         except Exception as e:  # scaling evidence is best-effort in bench
             result["kg_scaling_error"] = str(e)[:200]
         try:

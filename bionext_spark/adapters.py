@@ -99,6 +99,70 @@ class StubLLMAdapter:
         return [fake_llm_response(k) for k in keys]
 
 
+TMVAR_RULES = """Substitution: <Sequence type>|SUB|<wild type>|<mutation position>|<mutant>
+Deletion: <Sequence type>|DEL|<mutation position>|<mutant>
+Insertion: <Sequence type>|INS|<mutation position>|<mutant>
+Insertion + Deletion (indel/delins): <Sequence type>|INDEL|<mutation position>|<mutant>
+Duplication: <Sequence type>|DUP|<mutation position>|<mutant>|<duplication times>
+Frame shift: <Sequence type>|FS|<wild type>|<mutation position>|<mutant>|<frame shift position>
+Sequence types include DNA (c), RNA (r), Genome (g), Protein (p), and Mitochondrial (m) sequences."""
+
+
+def build_fewshot_prompt(text: str, gene: str, shots) -> str:
+    """K5 prompt assembly (reference seq_variant.py:244-272): tmVar rule
+    summary, then one 'Gene: … Mention: … Code: …' line per retrieved
+    example IN RETRIEVAL ORDER, then the completion line for the target.
+    ``shots`` is the engine-selected example list (dicts or Rows with
+    gene/mention/code) from select_fewshot_examples."""
+    lines = [
+        "As a biomedical expert, you associate sequence variants with their "
+        "tmVar identifiers.",
+        "",
+        "Key Annotation Rules:",
+        "",
+        TMVAR_RULES,
+        "",
+        "Examples provided for your reference:",
+        "",
+    ]
+    for s in shots or []:
+        lines.append(f"Gene: {s['gene']} Mention: {s['mention']} Code: {s['code']}")
+    lines.append("Now, complete the last entry:")
+    lines.append(f"Gene: {gene} Mention: {text} Code: ")
+    return "\n".join(lines)
+
+
+class FewShotPromptLLM:
+    """K5 adapter that CONSUMES the engine-selected few-shot examples: the
+    dataflow retrieves top-k > threshold examples per distinct text
+    (select_fewshot_examples) and ships them as the memo lookup's context
+    column; this adapter assembles the reference-shaped prompt and
+    delegates to ``complete`` (an LLM completion callable, e.g. an Ollama
+    client on a cluster — tests inject a deterministic fake). A real
+    adapter therefore never re-implements the retrieval, closing the
+    round-2 gap where prompt assembly was adapter-internal."""
+
+    def __init__(self, complete):
+        self.complete = complete
+
+    @staticmethod
+    def _split(key: str) -> tuple[str, str]:
+        text, _, gene = key.partition("\x00")
+        return text, gene
+
+    def lookup_batch(self, keys: Sequence[str]) -> list:
+        # no context → zero-shot prompts
+        return self.lookup_batch_ctx(keys, {"shots": [None] * len(keys)})
+
+    def lookup_batch_ctx(self, keys: Sequence[str], ctx: dict) -> list:
+        shots_col = ctx.get("shots", [None] * len(keys))
+        out = []
+        for key, shots in zip(keys, shots_col):
+            text, gene = self._split(key)
+            out.append(self.complete(build_fewshot_prompt(text, gene, shots)))
+        return out
+
+
 def hf_adapters_available() -> bool:
     try:  # pragma: no cover - torch/transformers not in this image
         import torch  # noqa: F401
@@ -231,32 +295,109 @@ class HFEncoderAdapter:
 
 
 class HFRelationAdapter:
-    """K3 — relation+novelty classifier. The transformer encodes each
-    marked chunk; the marker-token gather and the type-pair logit mask are
-    the shared numpy kernels (model_math.gather_marker_embeddings /
-    apply_relation_mask — reference extractor/data.py:360-394,
-    modeling_bionextextractor.py:58-80, 190-198). Expects a checkpoint
-    exporting (relation_logits, novel_logits) per chunk, e.g. the
-    published BioNExt extractor."""
+    """K3 — relation+novelty classifier with the REAL extractor head: the
+    transformer encodes each marked chunk, the [s1]/[e1]/[s2]/[e2] marker
+    embeddings are gathered (model_math.gather_marker_embeddings,
+    reference modeling_bionextextractor.py:58-80), pooled by the
+    checkpoint's 1-learned-query MultiheadAttention
+    (model_math.attention_pool_single_query, :163-196) and classified by
+    the dual GELU-MLP heads (model_math.extractor_head_logits, :198-217).
+    All head math is the numpy tested in this image; torch only runs BERT.
 
-    def __init__(self, checkpoint: str, device: str = "cpu", max_length: int = 512):
+    Two checkpoint shapes are supported:
+
+    * the published BioNExt extractor class (custom code): its forward
+      already returns logits = (relation_logits, novel_logits) — used
+      directly;
+    * a plain ``BertModel`` checkpoint carrying the head tensors
+      (``weight``, ``MHattention_layer.*``, ``fc1/fc2``,
+      ``fc1_novel/fc2_novel``): the numpy head runs on the gathered
+      markers.
+
+    Anything else RAISES — no silent hidden-state-slice fallback
+    (round-2 review: fabricated logits are worse than an error).
+
+    ``relation_mask``: None (default) matches the reference's INFERENCE
+    path, which runs mask-free (extractor/__init__.py:37 loads data with
+    mask=None); pass a (6, 6, 9) array (e.g.
+    model_math.train_derived_relation_mask of the training observations,
+    or relation_logit_mask() for the deterministic pair-level prior) to
+    add it to the relation logits."""
+
+    def __init__(
+        self,
+        checkpoint: str,
+        device: str = "cpu",
+        max_length: int = 512,
+        relation_mask=None,
+    ):
         _require_hf("HFRelationAdapter")
         self.checkpoint = checkpoint
         self.device = device
         self.max_length = max_length
+        self.relation_mask = relation_mask
         self._model = None
         self._tok = None
+        self._marker_ids: set[int] | None = None
+        self._head = None  # numpy head weights, or None → model returns logits
+
+    MARKERS = ["[s1]", "[e1]", "[s2]", "[e2]"]
 
     def ensure_loaded(self):  # pragma: no cover - needs torch
         if self._model is None:
             from transformers import AutoModel, AutoTokenizer
 
             self._tok = AutoTokenizer.from_pretrained(self.checkpoint)
-            self._tok.add_tokens(["[s1]", "[e1]", "[s2]", "[e2]"], special_tokens=True)
+            added = self._tok.add_tokens(self.MARKERS, special_tokens=True)
             self._model = AutoModel.from_pretrained(
                 self.checkpoint, trust_remote_code=False
             ).to(self.device).eval()
+            if added:
+                # new marker rows must exist in the embedding matrix or
+                # indexing is out of range (reference training_mode
+                # resizes via config.update_vocab)
+                self._model.resize_token_embeddings(len(self._tok))
+            self._marker_ids = {
+                i for i in self._tok.convert_tokens_to_ids(self.MARKERS) if i is not None
+            }
+            self._head = self._extract_head(self._model)
         return self._model, self._tok
+
+    @staticmethod
+    def _extract_head(model):  # pragma: no cover - needs torch
+        """Pull the attention-pool + dual-head tensors out of the
+        checkpoint as numpy, or None if the model computes logits itself."""
+        import numpy as np
+
+        need = ["weight", "MHattention_layer", "fc1", "fc2"]
+        if not all(hasattr(model, n) for n in need):
+            return None
+
+        def t2n(t):
+            return t.detach().cpu().numpy().astype(np.float64)
+
+        mha = model.MHattention_layer
+        head = {
+            "query": t2n(model.weight).reshape(-1),
+            "in_w": t2n(mha.in_proj_weight),
+            "in_b": t2n(mha.in_proj_bias),
+            "out_w": t2n(mha.out_proj.weight),
+            "out_b": t2n(mha.out_proj.bias),
+            "num_heads": int(mha.num_heads),
+            "fc1_w": t2n(model.fc1.weight), "fc1_b": t2n(model.fc1.bias),
+            "fc2_w": t2n(model.fc2.weight), "fc2_b": t2n(model.fc2.bias),
+        }
+        if hasattr(model, "fc1_novel"):
+            head.update(
+                fc1_novel_w=t2n(model.fc1_novel.weight), fc1_novel_b=t2n(model.fc1_novel.bias),
+                fc2_novel_w=t2n(model.fc2_novel.weight), fc2_novel_b=t2n(model.fc2_novel.bias),
+            )
+        return head
+
+    def _encoder(self, model):  # pragma: no cover - needs torch
+        """The BERT trunk: model.bert for the extractor classes, the model
+        itself for a plain BertModel checkpoint."""
+        return getattr(model, "bert", model)
 
     def classify_batch(
         self, e1, e2, chunks, e1_types=None, e2_types=None
@@ -274,17 +415,52 @@ class HFRelationAdapter:
             padding=True,
             return_tensors="pt",
         ).to(self.device)
+        ids = enc["input_ids"].cpu().numpy()
+        idx_lists = [MM.marker_indexes(row, self._marker_ids) for row in ids]
+        max_m = max((len(x) for x in idx_lists), default=0) or 1
+        indexes = np.full((len(ids), max_m), -1, dtype=np.int64)
+        for i, x in enumerate(idx_lists):
+            indexes[i, : len(x)] = x
+
         with torch.no_grad():
-            out = model(**enc)
-        rel = out[0].cpu().numpy() if isinstance(out, tuple) else out.last_hidden_state[:, 0, :9].cpu().numpy()
-        nov = out[1].cpu().numpy() if isinstance(out, tuple) else np.zeros((len(chunks), 2))
-        mask = MM.relation_logit_mask()
+            if self._head is None:
+                # custom extractor class: forward(indexes=...) returns the
+                # (relation, novelty) logit tuple itself
+                out = model(
+                    **enc, indexes=torch.as_tensor(indexes).to(self.device)
+                )
+                logits = getattr(out, "logits", out)
+                if not (isinstance(logits, (tuple, list)) and len(logits) == 2):
+                    raise RuntimeError(
+                        "HFRelationAdapter: checkpoint is neither a BioNExt "
+                        "extractor (logits tuple) nor a BertModel with head "
+                        "tensors (weight/MHattention_layer/fc1/fc2) — refusing "
+                        "to fabricate predictions from hidden states"
+                    )
+                rel = logits[0].cpu().numpy().reshape(len(ids), -1)
+                nov = logits[1].cpu().numpy().reshape(len(ids), -1)
+            else:
+                hidden = self._encoder(model)(**enc).last_hidden_state.cpu().numpy()
+                markers, valid = MM.gather_marker_embeddings(
+                    hidden.astype(np.float64), indexes
+                )
+                h = self._head
+                pooled = MM.attention_pool_single_query(
+                    h["query"], markers, valid, h["in_w"], h["in_b"],
+                    h["out_w"], h["out_b"], h["num_heads"],
+                )
+                rel, nov = MM.extractor_head_logits(
+                    pooled, h["fc1_w"], h["fc1_b"], h["fc2_w"], h["fc2_b"],
+                    h.get("fc1_novel_w"), h.get("fc1_novel_b"),
+                    h.get("fc2_novel_w"), h.get("fc2_novel_b"),
+                )
+                if nov is None:
+                    nov = np.zeros((len(ids), 2))
+
         results = []
         for i in range(len(chunks)):
             r = rel[i]
-            if e1_types is not None and e2_types is not None:
-                # O6 — additive type-pair logit mask (data.py:386,
-                # modeling_bionextextractor.py:190-198)
-                r = MM.apply_relation_mask(r, e1_types[i], e2_types[i], mask)
+            if self.relation_mask is not None and e1_types is not None and e2_types is not None:
+                r = MM.apply_relation_mask(r, e1_types[i], e2_types[i], self.relation_mask)
             results.append((list(map(float, r)), list(map(float, nov[i]))))
         return results

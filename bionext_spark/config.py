@@ -91,6 +91,10 @@ class PipelineConfig:
     # Arrow batch size for UDF kernels (reference batches 8/128 on GPU;
     # CPU stubs take larger batches).
     kernel_batch_size: int = 1024
+    # K5 few-shot retrieval (reference seq_variant.py:240-268: top-50
+    # train examples with embedding score > 0.6 build the LLM prompt).
+    fewshot_k: int = 50
+    fewshot_threshold: float = 0.6
 
     @property
     def center_size(self) -> int:

@@ -33,10 +33,12 @@ from bionext_spark.entry_queries import t
 def _ranked_topk(scored: DataFrame, k: int, *order_cols) -> DataFrame:
     """Global top-k WITHOUT a global window: ``orderBy().limit(k)`` plans as
     TakeOrderedAndProject (per-partition heap + driver merge — no
-    single-partition WindowExec, the round-1 scale-killer). The rank column
-    is then derived over the ≤k-row result; partitionBy(lit(0)) keeps the
-    partition spec non-empty so no all-data-to-one-partition plan exists
-    anywhere, and the shuffle it implies moves exactly k rows."""
+    single-partition WindowExec over the corpus, the round-1 scale-killer).
+    The rank column is then derived over the ≤k-row result. NOTE: the
+    optimizer folds the constant partitionBy(lit(0)) away, so Spark still
+    logs a 'No Partition Defined for Window' warning here — it is BENIGN:
+    the window's input is the ≤k-row TakeOrderedAndProject output, so the
+    single partition it moves holds k rows, never the corpus."""
     top = scored.orderBy(*order_cols).limit(k)
     w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -81,7 +83,7 @@ def _shingles(d: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark, sf):
+def dedup_minhash_lsh(spark, sf, barrier=None):
     """MinHash+LSH near-dup: 4 bands × 2 minhashes (min over
     md5(hash_id||shingle), band signature = the two minima joined).
     Single-hash bands collapse when documents share a small vocabulary —
@@ -98,7 +100,16 @@ def dedup_minhash_lsh(spark, sf):
     verify ships each candidate pair its two shingle ARRAYS (two keyed
     joins) and intersects them in one array_intersect kernel — no
     |pairs|×|shingles| exploded join, no corpus-sized cache, cost strictly
-    ∝ |candidates|."""
+    ∝ |candidates|.
+
+    ``barrier``: plan-barrier strategy for the per-doc digest table (~70B
+    per doc). Default = localCheckpoint — fine standalone to ~10⁹ docs,
+    but it pins executor storage and dies with the app. Pipeline contexts
+    pass a durable df→df barrier, e.g.
+    ``minhash_catalog_barrier(StageCatalog(...))``, which commits the
+    digests as a resumable stage table instead."""
+    if barrier is None:
+        barrier = lambda df: df.localCheckpoint()  # noqa: E731
     d = t(spark, sf, "documents")
     arrs = d.select(
         "doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR.format(k=8))).alias("shs")
@@ -119,10 +130,12 @@ def dedup_minhash_lsh(spark, sf):
             "aggregate(transform(shs, s -> struct(md5(s) as a, md5(concat('x', s)) as b)), "
             f"named_struct({init}), (acc, x) -> named_struct({mins}))"
         ).alias("mins"),
-    ).select(
-        "doc_id", *[F.col(f"mins.m{i}").alias(f"mh{i}") for i in range(8)]
-    ).localCheckpoint()  # tiny (8×8 chars per doc); a hard plan barrier so
-    # neither the candidate self-join nor AQE re-plans recompute the sweep
+    )
+    # the barrier makes the digest table a hard plan cut so neither the
+    # candidate self-join nor AQE re-plans recompute the shingle sweep
+    per_doc = barrier(
+        per_doc.select("doc_id", *[F.col(f"mins.m{i}").alias(f"mh{i}") for i in range(8)])
+    )
     sig = per_doc.selectExpr(
         "doc_id",
         "stack(4, "
@@ -152,6 +165,22 @@ def dedup_minhash_lsh(spark, sf):
         )
     )
     return j.filter(F.col("jaccard") >= 0.5).select("doc1", "doc2", "jaccard")
+
+
+def minhash_catalog_barrier(catalog, inputs=("documents",), fingerprint="minhash-digests"):
+    """Durable barrier for dedup_minhash_lsh inside a pipeline: commits the
+    per-doc digest table through StageCatalog (snapshotted parquet/Iceberg
+    + manifest), so the shingle sweep is resumable and nothing pins
+    executor storage — the 100 TB replacement for the standalone
+    localCheckpoint."""
+
+    def barrier(df):
+        out, _ = catalog.run_stage(
+            "minhash_digests", lambda: df, list(inputs), fingerprint
+        )
+        return out
+
+    return barrier
 
 
 DEDUP_MINHASH_SQL = """

@@ -80,12 +80,9 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
     links = run_linker(
         spark,
         mentions,
-        fixtures.train_direct_df(spark),
-        fixtures.lexicon_concepts_df(spark),
-        fixtures.lexicon_genes_df(spark),
-        fixtures.lexicon_variants_df(spark),
-        StubEncoder(cfg.embedding_dim),
-        cfg,
+        encoder=StubEncoder(cfg.embedding_dim),
+        cfg=cfg,
+        side=fixtures.linker_side_data(spark),
     )
     # cache (not localCheckpoint): the cleaner's row_number window leaves
     # the rows hash(conv_id)-partitioned, and keeping that knowledge in the

@@ -179,6 +179,87 @@ def first_subword_emissions(
     return out
 
 
+try:  # pragma: no cover - scipy optional in this image
+    from scipy.special import erf as _erf
+except Exception:  # pragma: no cover
+    import math as _math
+
+    _erf = np.vectorize(_math.erf)  # exact; head arrays are tiny
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    """Exact (erf-based) GELU — torch.nn.GELU(approximate='none')."""
+    x = np.asarray(x, dtype=np.float64)
+    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+
+
+def attention_pool_single_query(
+    query: np.ndarray,  # (hidden,) — the learned 1×1×H query, squeezed
+    embeddings: np.ndarray,  # (batch, markers, hidden) zero-padded
+    valid: np.ndarray,  # (batch, markers) bool — False = padding
+    in_proj_weight: np.ndarray,  # (3H, H) rows [Wq; Wk; Wv]
+    in_proj_bias: np.ndarray,  # (3H,)
+    out_proj_weight: np.ndarray,  # (H, H)
+    out_proj_bias: np.ndarray,  # (H,)
+    num_heads: int,
+) -> np.ndarray:
+    """Numpy forward of the extractor's pooling layer — a
+    torch.nn.MultiheadAttention(batch_first=True) with ONE learned query
+    attending over the marker-token embeddings, padding masked out
+    (reference modeling_bionextextractor.py:163-196:
+    ``MHattention_layer(weight, embeddings, embeddings,
+    key_padding_mask=~mask)``). Returns (batch, hidden)."""
+    b, m, h = embeddings.shape
+    dh = h // num_heads
+    wq, wk, wv = in_proj_weight[:h], in_proj_weight[h : 2 * h], in_proj_weight[2 * h :]
+    bq, bk, bv = in_proj_bias[:h], in_proj_bias[h : 2 * h], in_proj_bias[2 * h :]
+    q = (query @ wq.T + bq).reshape(num_heads, dh)  # same query for every batch row
+    k = embeddings @ wk.T + bk  # (b, m, h)
+    v = embeddings @ wv.T + bv
+    k = k.reshape(b, m, num_heads, dh).transpose(0, 2, 1, 3)  # (b, nh, m, dh)
+    v = v.reshape(b, m, num_heads, dh).transpose(0, 2, 1, 3)
+    scores = np.einsum("hd,bhmd->bhm", q, k) / np.sqrt(dh)  # (b, nh, m)
+    scores = np.where(valid[:, None, :], scores, -np.inf)
+    scores = scores - scores.max(axis=-1, keepdims=True)
+    attn = np.exp(scores)
+    attn = attn / attn.sum(axis=-1, keepdims=True)
+    pooled = np.einsum("bhm,bhmd->bhd", attn, v).reshape(b, h)
+    return pooled @ out_proj_weight.T + out_proj_bias
+
+
+def extractor_head_logits(
+    pooled: np.ndarray,  # (batch, hidden) — attention-pooled representation
+    fc1_w: np.ndarray, fc1_b: np.ndarray, fc2_w: np.ndarray, fc2_b: np.ndarray,
+    fc1_novel_w: np.ndarray | None = None, fc1_novel_b: np.ndarray | None = None,
+    fc2_novel_w: np.ndarray | None = None, fc2_novel_b: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Dual classification heads over the pooled representation
+    (modeling_bionextextractor.py:198-217): relation = fc2(GELU(fc1(x)))
+    → 9 logits; novelty = fc2_novel(GELU(fc1_novel(x))) → 2 logits (None
+    when the checkpoint is the no-novel variant)."""
+    rel = gelu(pooled @ fc1_w.T + fc1_b) @ fc2_w.T + fc2_b
+    if fc1_novel_w is None:
+        return rel, None
+    nov = gelu(pooled @ fc1_novel_w.T + fc1_novel_b) @ fc2_novel_w.T + fc2_novel_b
+    return rel, nov
+
+
+def train_derived_relation_mask(observed: "list[tuple[int, int, int]]") -> np.ndarray:
+    """Per-(type-pair, class) additive mask from observed training triples
+    — the reference's real mask shape (extractor/data.py:119-121, 169-170:
+    classes ever observed for a type pair get 0, everything else -9e9,
+    symmetrized). ``observed`` holds (entity1_idx, entity2_idx, class_idx)
+    per training relation. Note the reference runs INFERENCE with
+    mask=None (extractor/__init__.py:37); this mask is a training-time /
+    optional-prior artifact."""
+    n_rel = len(RELATION_LABELS)
+    mask = np.full((6, 6, n_rel), RELATION_MASK_NEGATIVE)
+    for ia, ib, ic in observed:
+        mask[ia, ib, ic] = 0.0
+        mask[ib, ia, ic] = 0.0
+    return mask
+
+
 def gather_marker_embeddings(
     embeddings: np.ndarray,  # (batch, tokens, hidden)
     indexes: np.ndarray,  # (batch, max_markers), -1 padded

@@ -180,31 +180,160 @@ def majority_vote(
 
 
 # ---------------------------------------------------------------------------
-# J3 — distinct-encode embedding lookup.
+# Side data — every lexicon-derived structure the linker joins against.
+#
+# The lexicons are side data by contract (MBs — the reference loads them
+# as in-process dicts + .npy matrices, src/linker/utils.py): the scale
+# axis is the transcript corpus, never the lexicons. Round-2 profiling
+# showed the per-run cost of deriving these structures relationally —
+# two driver collects plus five separate broadcast-build subplans, each
+# its own scheduler job — was a fixed serial latency that bounded local
+# N→4N scaling. LinkerSideData materializes the inputs ONCE (driver-side
+# python when they fit, the relational builders as fallback) and is
+# session-memoizable, so a long-running job pays the cost once.
 # ---------------------------------------------------------------------------
 
 
-def _collect_kb_matrices(concepts: DataFrame, kbs: list[str]) -> dict[str, tuple[list[str], np.ndarray]]:
-    """Driver-side load of the (small) KB embedding matrices, rank-ordered
-    so argmax first-max == lowest rank (reference pre-loads .npy matrices,
-    chemicals.py:59-62). Rows are already unit-norm."""
-    rows = (
-        concepts.filter(F.col("kb").isin(kbs) & F.col("embedding").isNotNull())
-        .select("kb", "id", "embedding", "rank")
-        .orderBy("rank")
-        .collect()
-    )
-    out: dict[str, tuple[list[str], np.ndarray]] = {}
-    for kb in sorted(set(r["kb"] for r in rows)):
-        sub = [r for r in rows if r["kb"] == kb]
-        out[kb] = ([r["id"] for r in sub], np.array([r["embedding"] for r in sub], dtype=np.float64))
-    return out
+DICT_LEX_SCHEMA = "label string, key_kind string, text_key string, cand string, rank long, priority int"
+GENE_LEX_SCHEMA = "tax_id string, text_key string, cand string, rank long, priority int"
+
+
+class LinkerSideData:
+    """All lexicon-derived side structures, materialized once.
+
+    ``dict_lex`` / ``gene_lex`` / ``flat_train_keys`` / ``gene_dict_keys``
+    are DataFrames over LOCAL rows (or the relational fallback plans when
+    an input exceeds ``max_driver_rows``) — broadcast-join sides with no
+    upstream lineage. ``known_taxa`` / ``emb_taxa`` are python lists;
+    ``kb_matrices`` the numpy KB matrices (rank-ordered, unit-norm rows —
+    reference pre-loads .npy, chemicals.py:59-62)."""
+
+    def __init__(self, dict_lex, gene_lex, known_taxa, flat_train_keys,
+                 gene_dict_keys, emb_taxa, kb_matrices):
+        self.dict_lex = dict_lex
+        self.gene_lex = gene_lex
+        self.known_taxa = known_taxa
+        self.flat_train_keys = flat_train_keys
+        self.gene_dict_keys = gene_dict_keys
+        self.emb_taxa = emb_taxa
+        self.kb_matrices = kb_matrices
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        train_direct: DataFrame,
+        lexicon_concepts: DataFrame,
+        lexicon_genes: DataFrame,
+        lexicon_variants: DataFrame,
+        max_driver_rows: int = 2_000_000,
+    ) -> "LinkerSideData":
+        # concepts ALWAYS collect: the KB embedding matrices must fit the
+        # driver regardless (they broadcast as numpy, like the reference's
+        # .npy loads)
+        co = lexicon_concepts.select("kb", "id", "text", "embedding", "rank").collect()
+        emb_rows = sorted((r for r in co if r["embedding"] is not None), key=lambda r: r["rank"])
+        kb_matrices: dict[str, tuple[list[str], np.ndarray]] = {}
+        for kb in sorted({r["kb"] for r in emb_rows}):
+            sub = [r for r in emb_rows if r["kb"] == kb]
+            kb_matrices[kb] = (
+                [r["id"] for r in sub],
+                np.array([r["embedding"] for r in sub], dtype=np.float64),
+            )
+        emb_taxa = sorted(
+            kb.removeprefix("gene_") for kb in kb_matrices if kb.startswith("gene_")
+        )
+
+        def _try_collect(df: DataFrame):
+            rows = df.limit(max_driver_rows + 1).collect()
+            return None if len(rows) > max_driver_rows else rows
+
+        tr = _try_collect(train_direct)
+        ge = _try_collect(lexicon_genes)
+        va = _try_collect(lexicon_variants)
+        if tr is None or ge is None or va is None:  # pragma: no cover - huge lexicons
+            dict_lex = _dictionary_lexicon(train_direct, lexicon_concepts, lexicon_variants)
+            gene_lex = _gene_lexicon(train_direct, lexicon_genes)
+            known_taxa = sorted(
+                r[0] for r in lexicon_genes.select("tax_id").distinct().collect()
+            )
+            flat_train_keys = train_direct.filter(
+                F.col("label").isin(list(FLAT_EMB_KBS)) & F.col("tax_id").isNull()
+            ).select("label", "text_key").distinct()
+            gene_dict_keys = (
+                gene_lex.filter(F.col("priority") <= 1).select("tax_id", "text_key").distinct()
+            )
+            return LinkerSideData(
+                dict_lex, gene_lex, known_taxa, flat_train_keys, gene_dict_keys,
+                emb_taxa, kb_matrices,
+            )
+
+        # --- pure-python derivation, exactly the relational semantics ---
+        dict_rows = [
+            (
+                r["label"],
+                "raw" if r["label"] == "OrganismTaxon" else "lower",
+                r["text_key"], r["linked_id"], r["rank"], 0,
+            )
+            for r in tr
+            if r["tax_id"] is None
+        ]
+        dict_rows += [
+            ("OrganismTaxon", "lower", r["text"], r["id"], r["rank"], 1)
+            for r in co
+            if r["kb"] == "taxonomy"
+        ]
+        dict_rows += [
+            ("SequenceVariant", "lower", r["mention"], r["identifier"], 0, 2) for r in va
+        ]
+
+        gene_rows = [
+            (r["tax_id"], r["text_key"], r["linked_id"], r["rank"], 0)
+            for r in tr
+            if r["label"] == "GeneOrGeneProduct" and r["tax_id"] is not None
+        ]
+        kb_min: dict[tuple, int] = {}
+        backup_min: dict[tuple, int] = {}
+        for r in ge:
+            k = (r["tax_id"], r["alias"], r["gene_id"])
+            kb_min[k] = min(kb_min.get(k, r["rank"]), r["rank"])
+            b = (r["alias"], r["gene_id"])
+            backup_min[b] = min(backup_min.get(b, r["rank"]), r["rank"])
+        gene_rows += [(t, a, g, rk, 1) for (t, a, g), rk in kb_min.items()]
+        gene_rows += [(None, a, g, rk, 3) for (a, g), rk in backup_min.items()]
+
+        known_taxa = sorted({r["tax_id"] for r in ge})
+        flat_keys = sorted(
+            {
+                (r["label"], r["text_key"])
+                for r in tr
+                if r["label"] in FLAT_EMB_KBS and r["tax_id"] is None
+            }
+        )
+        gd_keys = sorted({(t, a) for (t, a, _g, _rk, p) in gene_rows if p <= 1})
+
+        def local_df(rows, schema):
+            return spark.createDataFrame(rows, schema).coalesce(1)
+
+        return LinkerSideData(
+            local_df(dict_rows, DICT_LEX_SCHEMA),
+            local_df(gene_rows, GENE_LEX_SCHEMA),
+            known_taxa,
+            local_df(flat_keys, "label string, text_key string"),
+            local_df(gd_keys, "tax_id string, text_key string"),
+            emb_taxa,
+            kb_matrices,
+        )
+
+
+# ---------------------------------------------------------------------------
+# J3 — distinct-encode embedding lookup.
+# ---------------------------------------------------------------------------
 
 
 def embedding_lookup(
     spark: SparkSession,
     texts: DataFrame,  # carries (grp, text_key)
-    concepts: DataFrame,
+    kb_matrices: dict[str, tuple[list[str], np.ndarray]],
     kbs_by_group: dict[str, list[str]],
     encoder: EncoderAdapter,
     threshold: float,
@@ -215,14 +344,16 @@ def embedding_lookup(
     for the flat hops, 'tax:<id>' for the per-taxon gene hop — BOTH hop
     families resolve in this single kernel pass, one distinct shuffle
     instead of two) to its KB files; per-file argmax > threshold, best
-    across files (chemicals.py:71-94).
+    across files (chemicals.py:71-94). ``kb_matrices`` is the
+    LinkerSideData matrices dict (rank-ordered so argmax first-max ==
+    lowest rank).
 
     Returns (grp, text_key, cand) — ``cand`` is NULL when nothing clears
     the threshold, except for groups in ``dash_groups`` where it is '-'
     (the reference's gene hop *always* answers when the taxon has an
     embedding file, genes.py:146-151)."""
-    all_kbs = sorted({kb for kbs in kbs_by_group.values() for kb in kbs})
-    matrices = _collect_kb_matrices(concepts, all_kbs)
+    wanted_kbs = {kb for kbs in kbs_by_group.values() for kb in kbs}
+    matrices = {kb: m for kb, m in kb_matrices.items() if kb in wanted_kbs}
     bc = spark.sparkContext.broadcast((matrices, kbs_by_group, set(dash_groups)))
     key_cols = ["grp", "text_key"]
     out_schema = "grp string, text_key string, cand string"
@@ -251,6 +382,60 @@ def embedding_lookup(
             yield pdf[key_cols].assign(cand=cands)
 
     return texts.select(*key_cols).distinct().mapInPandas(score, out_schema)
+
+
+def select_fewshot_examples(
+    spark: SparkSession,
+    texts: DataFrame,  # (text_key) — distinct texts reaching the LLM hop
+    examples: DataFrame,  # (mention, code, gene) — variant train memory
+    encoder: EncoderAdapter,
+    k: int = 50,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """K5 few-shot example retrieval as a DATAFLOW op (reference
+    seq_variant.py:239-268: torch.topk(embeddings @ target, k=50), keep
+    scores > 0.6, examples feed the LLM prompt in topk order).
+
+    The example table is side data (reference builds it driver-side from
+    BioRED train + tmVar, :324-341): its mention embeddings are encoded
+    ONCE on the driver and broadcast; each distinct unresolved text then
+    scores against the matrix in a mapInPandas kernel — the same
+    distinct-encode shape as the J3 embedding lookup, cost ∝ |distinct
+    texts| × |examples|. Ties keep the lower example index (torch.topk's
+    first-occurrence order on CPU).
+
+    Returns (text_key, shots: array<struct<gene, mention, code>>) in
+    (score desc, example index asc) order — the exact prompt order."""
+    ex_rows = examples.select("mention", "code", "gene").collect()
+    if ex_rows:
+        M = np.array(encoder.encode_batch([r["mention"] for r in ex_rows]), dtype=np.float64)
+    else:
+        M = np.zeros((0, getattr(encoder, "dim", 1)))
+    triples = [(r["gene"], r["mention"], r["code"]) for r in ex_rows]
+    bc = spark.sparkContext.broadcast((M, triples, k, threshold))
+    out_schema = (
+        "text_key string, shots array<struct<gene: string, mention: string, code: string>>"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat, shots, kk, thr = bc.value
+        for pdf in batches:
+            if pdf.empty or not len(shots):
+                yield pdf.assign(shots=[[] for _ in range(len(pdf))])[
+                    ["text_key", "shots"]
+                ]
+                continue
+            embs = np.array(encoder.encode_batch(list(pdf["text_key"])), dtype=np.float64)
+            scores = mat @ embs.T  # (n_examples, batch)
+            out = []
+            for j in range(scores.shape[1]):
+                col = scores[:, j]
+                # stable argsort on (-score, idx) == torch.topk order
+                top = np.argsort(-col, kind="stable")[:kk]
+                out.append([shots[i] for i in top if col[i] > thr])
+            yield pdf[["text_key"]].assign(shots=out)
+
+    return texts.select("text_key").distinct().mapInPandas(score, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +504,7 @@ def _gene_lexicon(train: DataFrame, genes_kb: DataFrame) -> DataFrame:
 
 
 def _nearest_org_anchor(
-    m_gene: DataFrame, linked_orgs: DataFrame, genes_kb: DataFrame
+    m_gene: DataFrame, linked_orgs: DataFrame, known_taxa
 ) -> DataFrame:
     """J4 — nearest linked organism whose taxon exists in the gene KB
     (strict < keeps the earliest organism on distance ties,
@@ -330,9 +515,16 @@ def _nearest_org_anchor(
     round trip (that shape cost an extra shuffle of every gene mention —
     pure serial latency on the linker's critical path). Anchor-less
     conversations survive the left join with a NULL org_tax → min_by
-    yields NULL → the default taxon."""
-    known_taxa = genes_kb.select(F.col("tax_id").alias("org_tax")).distinct()
-    anchors = linked_orgs.join(F.broadcast(known_taxa), "org_tax")
+    yields NULL → the default taxon.
+
+    ``known_taxa``: list of taxon ids (LinkerSideData — becomes an InSet
+    predicate, zero extra jobs) or a 1-column DataFrame (huge-lexicon
+    fallback — broadcast semi join)."""
+    if isinstance(known_taxa, DataFrame):
+        kt = known_taxa.toDF("org_tax")
+        anchors = linked_orgs.join(F.broadcast(kt), "org_tax")
+    else:
+        anchors = linked_orgs.filter(F.col("org_tax").isin(list(known_taxa)))
     return (
         m_gene.join(anchors, "conv_id", "left")
         .groupBy("conv_id", "mention_id")
@@ -365,6 +557,10 @@ def _variant_candidates(
     gene_symbols: DataFrame | None,
     litvar,
     llm,
+    fewshot_examples: DataFrame | None = None,
+    encoder: EncoderAdapter | None = None,
+    fewshot_k: int = 50,
+    fewshot_threshold: float = 0.6,
 ) -> DataFrame:
     """All SequenceVariant candidate hops as one prioritized frame:
 
@@ -394,9 +590,13 @@ def _variant_candidates(
     if gene_symbols is None or (litvar is None and llm is None):
         return base
 
-    # J4 (variant flavor): nearest gene WINNER by |Δstart|; strict < keeps
-    # the earliest gene mention on ties (seq_variant.py:388-395 iterates
-    # gene entities in document order with a strict comparison).
+    # J4 (variant flavor): nearest gene MENTION by |Δstart|; strict < keeps
+    # the earliest gene mention on ties (seq_variant.py:388-404 iterates
+    # ALL gene entities in document order with a strict comparison,
+    # regardless of link outcome — an unlinked nearest gene still anchors,
+    # with linked_id '-', so the LitVar hop fails its gene_lookup guard and
+    # the LLM hop receives the raw '-'). Hence LEFT join onto the winners
+    # and default the id to '-' for winner-less genes.
     gene_anchors = (
         mentions.filter(F.col("label") == "GeneOrGeneProduct")
         .select("conv_id", "mention_id", F.col("start").alias("g_start"))
@@ -405,8 +605,14 @@ def _variant_candidates(
                 "conv_id", "mention_id", F.col("linked_id").alias("gene_id")
             ),
             ["conv_id", "mention_id"],
+            "left",
         )
-        .select("conv_id", "gene_id", "g_start", F.col("mention_id").alias("g_mid"))
+        .select(
+            "conv_id",
+            F.coalesce("gene_id", F.lit("-")).alias("gene_id"),
+            "g_start",
+            F.col("mention_id").alias("g_mid"),
+        )
     )
     m_var = mentions.filter(F.col("label") == "SequenceVariant").select(
         "conv_id", "mention_id", "start", "text"
@@ -462,8 +668,29 @@ def _variant_candidates(
         ).otherwise(F.col("text"))
         llm_gene = F.coalesce("symbol", "gene_id", F.lit("-"))
         amino = convert_amino_acids_udf()
-        v_llm = v_llm.withColumn("key", F.concat_ws("\x00", amino(llm_text), llm_gene))
-        llm_vals = llm.lookup(v_llm.select("key"))
+        v_llm = v_llm.withColumn("amino_text", amino(llm_text)).withColumn(
+            "key", F.concat_ws("\x00", F.col("amino_text"), llm_gene)
+        )
+        if fewshot_examples is not None:
+            # K5 engine-side retrieval: the top-k > threshold examples for
+            # each distinct amino-converted text ride the lookup as a
+            # CONTEXT column — a prompt-building adapter receives them;
+            # the memo key stays (text, gene), like the reference's
+            # diskcache (seq_variant.py:236-268)
+            shots = select_fewshot_examples(
+                mentions.sparkSession,
+                v_llm.select(F.col("amino_text").alias("text_key")),
+                fewshot_examples,
+                encoder or StubEncoder(),
+                fewshot_k,
+                fewshot_threshold,
+            )
+            v_llm = v_llm.join(
+                shots.withColumnRenamed("text_key", "amino_text"), "amino_text", "left"
+            )
+            llm_vals = llm.lookup(v_llm.select("key", "shots"))
+        else:
+            llm_vals = llm.lookup(v_llm.select("key"))
         hops.append(
             v_llm.join(llm_vals, "key")
             .filter(F.col("value").isNotNull())
@@ -516,16 +743,18 @@ FLAT_EMB_KBS = {
 def run_linker(
     spark: SparkSession,
     mentions: DataFrame,
-    train_direct: DataFrame,
-    lexicon_concepts: DataFrame,
-    lexicon_genes: DataFrame,
-    lexicon_variants: DataFrame,
+    train_direct: DataFrame | None = None,
+    lexicon_concepts: DataFrame | None = None,
+    lexicon_genes: DataFrame | None = None,
+    lexicon_variants: DataFrame | None = None,
     encoder: EncoderAdapter | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     vote_impl: str = "grouped",
     gene_symbols: DataFrame | None = None,
     litvar=None,
     llm=None,
+    side: LinkerSideData | None = None,
+    fewshot_examples: DataFrame | None = None,
 ) -> DataFrame:
     """mentions → LINKS (same rows + linked_id/method; '-' = unlinked).
 
@@ -533,12 +762,22 @@ def run_linker(
     into one per-conversation kernel (1 shuffle); 'relational' keeps the
     pure window+groupBy form. Both produce identical output (tested).
 
+    ``side``: a prebuilt (possibly session-memoized) LinkerSideData; when
+    None it is built here from the four lexicon DataFrames — one
+    materialization per call, so long-running / multi-document jobs should
+    pass a shared instance (the per-run rebuild was a measured serial-
+    latency term in the N→4N scaling bench).
+
     ``gene_symbols`` (J8, reference gene_lookup.json) + ``litvar``/``llm``
     (MemoizedLookup instances over S8/K5 adapters) enable the deep
     seq-variant hops (reference seq_variant.py:376-505); with them None
     (the offline default — the engine core makes no network calls) the
     variant cascade stops at the tmVar lexicon hop."""
     encoder = encoder or StubEncoder(cfg.embedding_dim)
+    if side is None:
+        side = LinkerSideData.build(
+            spark, train_direct, lexicon_concepts, lexicon_genes, lexicon_variants
+        )
     mentions = mentions.cache()  # fans into dict join, anchors, final join
 
     def _vote(c: DataFrame, corrections=None, per_label: bool = False) -> DataFrame:
@@ -567,7 +806,7 @@ def run_linker(
     ).select("conv_id", "mention_id", "label", "start", "k.key_kind", "k.text_key")
 
     # --- ONE broadcast join for every tax-independent dictionary hop ---
-    dict_lex = _dictionary_lexicon(train_direct, lexicon_concepts, lexicon_variants)
+    dict_lex = side.dict_lex
     c_dict = m.join(F.broadcast(dict_lex), ["label", "key_kind", "text_key"]).select(
         "conv_id", "mention_id", "label", "cand", F.col("rank").cast("long").alias("rank"), "priority"
     )
@@ -597,9 +836,9 @@ def run_linker(
     m_gene = _nearest_org_anchor(
         m.filter(F.col("label") == "GeneOrGeneProduct").drop("label", "key_kind"),
         linked_orgs,
-        lexicon_genes,
+        side.known_taxa,
     ).cache()
-    gene_lex = _gene_lexicon(train_direct, lexicon_genes)
+    gene_lex = side.gene_lex
     c_gene = m_gene.alias("g").join(
         F.broadcast(gene_lex).alias("l"),
         (F.col("g.text_key") == F.col("l.text_key"))
@@ -613,22 +852,13 @@ def run_linker(
     # BOTH hop families (flat per-label + per-taxon gene) in ONE kernel
     # pass — the two-pass form cost an extra distinct shuffle + python
     # stage + join of pure serial latency per run ---
-    flat_train_keys = train_direct.filter(
-        F.col("label").isin(list(FLAT_EMB_KBS)) & F.col("tax_id").isNull()
-    ).select("label", "text_key").distinct()
     m_flat = m.filter(F.col("label").isin(list(FLAT_EMB_KBS))).join(
-        F.broadcast(flat_train_keys), ["label", "text_key"], "left_anti"
+        F.broadcast(side.flat_train_keys), ["label", "text_key"], "left_anti"
     ).withColumn("grp", F.col("label"))
 
-    emb_taxa = [
-        r["kb"].removeprefix("gene_")
-        for r in lexicon_concepts.filter(
-            F.col("kb").startswith("gene_") & F.col("embedding").isNotNull()
-        ).select("kb").distinct().collect()
-    ]
-    gene_dict_keys = gene_lex.filter(F.col("priority") <= 1).select("tax_id", "text_key").distinct()
-    m_gene_emb = m_gene.filter(F.col("tax_id").isin(emb_taxa)).join(
-        F.broadcast(gene_dict_keys),
+    emb_taxa = side.emb_taxa
+    m_gene_emb = m_gene.filter(F.col("tax_id").isin(list(emb_taxa))).join(
+        F.broadcast(side.gene_dict_keys),
         ["tax_id", "text_key"],
         "left_anti",
     ).withColumn("grp", F.concat(F.lit("tax:"), F.col("tax_id")))
@@ -637,7 +867,7 @@ def run_linker(
     emb = embedding_lookup(
         spark,
         m_flat.select("grp", "text_key").unionByName(m_gene_emb.select("grp", "text_key")),
-        lexicon_concepts,
+        side.kb_matrices,
         {**FLAT_EMB_KBS, **tax_groups},
         encoder,
         cfg.similarity_threshold,
@@ -673,7 +903,9 @@ def run_linker(
     if deep:
         rest = _vote(combined, per_label=True).cache()
         c_var = _variant_candidates(
-            mentions, c_dict, c_rs, rest, gene_symbols, litvar, llm
+            mentions, c_dict, c_rs, rest, gene_symbols, litvar, llm,
+            fewshot_examples=fewshot_examples, encoder=encoder,
+            fewshot_k=cfg.fewshot_k, fewshot_threshold=cfg.fewshot_threshold,
         )
         var_winners = _vote(c_var, per_label=True)
         all_winners = tax.unionByName(rest).unionByName(var_winners)
@@ -700,10 +932,15 @@ def run_linker(
     )
 
 
-def run_cleaner(links: DataFrame) -> DataFrame:
-    """P2 — drop unlinked mentions and renumber 0..n-1 per conversation in
-    span order (cleaner.py:5-30)."""
-    w = Window.partitionBy("conv_id").orderBy("start", "end")
+def run_cleaner(links: DataFrame, order_cols: tuple[str, ...] = ("start", "end")) -> DataFrame:
+    """P2 — drop unlinked mentions and renumber 0..n-1 per conversation
+    (cleaner.py:5-30). The reference numbers in annotation-APPEARANCE
+    order; engine mentions are emitted in span order per conversation, so
+    the default (start, end) ordering coincides. For ingested BioC
+    documents (read_bioc_annotations), pass ("turn_idx", "ann_idx") —
+    appearance order there is passage order, which is NOT span-monotonic
+    when a document repeats annotations across contexts."""
+    w = Window.partitionBy("conv_id").orderBy(*order_cols)
     return (
         links.filter(F.col("linked_id") != "-")
         .withColumn("mention_id", (F.row_number().over(w) - F.lit(1)).cast("int"))

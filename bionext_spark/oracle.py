@@ -290,12 +290,14 @@ def link(
         # adapters are configured — mirrors run_linker exactly) ---
         gene_win = _majority_vote(gene_cands)
         deep = lex.gene_symbols and (litvar_fn is not None or llm_fn is not None)
-        # J4 variant flavor: nearest LINKED gene mention; strict < keeps
-        # the earliest gene in document order on ties (:388-395)
+        # J4 variant flavor: nearest gene MENTION (linked or not — the
+        # reference iterates ALL gene entities, :388-404; an unlinked
+        # nearest gene anchors with id '-'); strict < keeps the earliest
+        # gene in document order on ties
         gene_anchors = [
-            (gene_win[m["mention_id"]], m["start"], m["mention_id"])
+            (gene_win.get(m["mention_id"], "-"), m["start"], m["mention_id"])
             for m in ms
-            if m["label"] == "GeneOrGeneProduct" and m["mention_id"] in gene_win
+            if m["label"] == "GeneOrGeneProduct"
         ]
         var_cands: dict[int, list[str]] = {}
         for m in (x for x in ms if x["label"] == "SequenceVariant"):

@@ -88,15 +88,12 @@ def run(
         return run_linker(
             spark,
             mentions,
-            fixtures.train_direct_df(spark),
-            fixtures.lexicon_concepts_df(spark),
-            fixtures.lexicon_genes_df(spark),
-            fixtures.lexicon_variants_df(spark),
-            encoder,
-            cfg,
+            encoder=encoder,
+            cfg=cfg,
             gene_symbols=fixtures.gene_symbols_df(spark),
             litvar=litvar,
             llm=llm,
+            side=fixtures.linker_side_data(spark),
         )
 
     links, m = cat.run_stage("links", _link, [m.snapshot_id], fp)

@@ -33,6 +33,61 @@ def read_bioc_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_bioc_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """BioC annotated documents → the engine's links schema
+    (conv_id, mention_id, label, start, end, text, linked_id) plus the
+    appearance-order keys (turn_idx, ann_idx).
+
+    Offsets in BioC are document-global over title + ' ' + abstract
+    (reference src/data.py:34) — identical to assemble_conversations'
+    single-space join, so golden spans index straight into the engine's
+    doc_text. ``mention_id`` carries the file's own annotation id
+    (stringly in tagger outputs, int after the cleaner); ``ann_idx`` is
+    the within-passage position, the order the reference's cleaner
+    renumbers by (cleaner.py:14-22)."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    docs = raw.select(F.explode("documents").alias("d"))
+    anns = docs.select(
+        F.col("d.id").cast("string").alias("conv_id"),
+        F.posexplode("d.passages").alias("pidx", "p"),
+    ).select(
+        "conv_id",
+        F.col("pidx").cast("int").alias("turn_idx"),
+        F.posexplode("p.annotations").alias("aidx", "a"),
+    )
+    loc = F.element_at(F.col("a.locations"), 1)
+    return anns.select(
+        "conv_id",
+        "turn_idx",
+        F.col("aidx").cast("int").alias("ann_idx"),
+        F.col("a.id").cast("string").alias("mention_id"),
+        F.col("a.infons.type").alias("label"),
+        loc.getField("offset").cast("int").alias("start"),
+        (loc.getField("offset") + loc.getField("length")).cast("int").alias("end"),
+        F.col("a.text").alias("text"),
+        F.col("a.infons.identifier").alias("linked_id"),
+    )
+
+
+def read_bioc_relations(spark: SparkSession, path: str) -> DataFrame:
+    """BioC doc-level relations → (conv_id, entity1, entity2, pred, novel)
+    (the reference extractor's output shape, outputs/extractor/
+    predicts.json: relations[].infons.{entity1,entity2,type,novel})."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    docs = raw.select(F.explode("documents").alias("d"))
+    rels = docs.select(
+        F.col("d.id").cast("string").alias("conv_id"),
+        F.explode("d.relations").alias("r"),
+    )
+    return rels.select(
+        "conv_id",
+        F.col("r.infons.entity1").alias("entity1"),
+        F.col("r.infons.entity2").alias("entity2"),
+        F.col("r.infons.type").alias("pred"),
+        (F.col("r.infons.novel") == "Novel").alias("novel"),
+    )
+
+
 def triples_to_bioc(triples: DataFrame) -> DataFrame:
     """triples → one row per document in the reference's relations shape:
     {id, relations: [{id: R{n}, infons: {entity1, entity2, type, novel}}]}.

@@ -67,6 +67,15 @@ class Manifest:
     # Iceberg's own snapshot id for the committed write, when the stage
     # table lives in an Iceberg catalog (None on the parquet fallback).
     iceberg_snapshot_id: int | None = None
+    # Storage backend the stage data was committed under, so resume in a
+    # DIFFERENT session (e.g. an Iceberg catalog now configured where the
+    # commit was parquet, or vice versa) still reads the right place:
+    # read() routes by the manifest's backend, not the session's.
+    backend: str = "parquet"
+    # Fully-qualified Iceberg table identifier of the commit (backend ==
+    # "iceberg" only): resume must not re-derive it from the current
+    # session's catalog config.
+    iceberg_ident: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2, sort_keys=True)
@@ -122,8 +131,17 @@ class StageCatalog:
         return os.path.exists(self._manifest_path(stage, snapshot_id))
 
     def read(self, stage: str, snapshot_id: str) -> DataFrame:
-        if self.use_iceberg:
-            return self.spark.read.table(self._iceberg_ident(stage, snapshot_id))
+        """Route by the COMMITTED manifest's backend (falling back to the
+        session's configured backend when no manifest exists yet): a stage
+        committed under parquet must re-read as parquet even if this
+        session auto-detected an Iceberg catalog, and an Iceberg commit
+        must resume from its recorded table identifier."""
+        backend, ident = ("iceberg" if self.use_iceberg else "parquet"), None
+        if self.is_committed(stage, snapshot_id):
+            m = self.read_manifest(stage, snapshot_id)
+            backend, ident = m.backend, m.iceberg_ident
+        if backend == "iceberg":
+            return self.spark.read.table(ident or self._iceberg_ident(stage, snapshot_id))
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage, snapshot_id), "data"))
 
     def read_manifest(self, stage: str, snapshot_id: str) -> Manifest:
@@ -173,6 +191,7 @@ class StageCatalog:
             inputs=inputs,
             config_fingerprint=config_fingerprint,
             committed_at=time.time(),
+            backend="parquet",
         )
         with open(os.path.join(tmp_dir, "_manifest.json"), "w") as f:
             f.write(manifest.to_json())
@@ -220,6 +239,8 @@ class StageCatalog:
             config_fingerprint=config_fingerprint,
             committed_at=time.time(),
             iceberg_snapshot_id=int(ice_snap),
+            backend="iceberg",
+            iceberg_ident=ident,
         )
         path = self._manifest_path(stage, snap)
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -70,6 +70,43 @@ def gene_symbols_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(synth.gene_symbols_rows(), GENE_SYMBOLS)
 
 
+def variant_examples_df(spark: SparkSession) -> DataFrame:
+    """K5 few-shot example memory (mention, code, gene) — the dataflow
+    side table select_fewshot_examples retrieves from (reference
+    seq_variant.py:324-341)."""
+    return spark.createDataFrame(
+        synth.variant_fewshot_rows(), "mention string, code string, gene string"
+    )
+
+
+_SIDE_CACHE: dict[str, object] = {}
+
+
+def linker_side_data(spark: SparkSession):
+    """Session-memoized LinkerSideData over the synth fixture lexicons.
+
+    The lexicons are deterministic module constants, so one materialization
+    per Spark application is exact; rebuilding them per pipeline run was a
+    measured serial-latency term in the N→4N scaling bench (round-2
+    BENCH/BASELINE.md stage-timeline: per-run lexicon builds + driver
+    collects in the ~40s constant)."""
+    from bionext_spark.operators.linking import LinkerSideData
+
+    key = spark.sparkContext.applicationId
+    side = _SIDE_CACHE.get(key)
+    if side is None:
+        side = LinkerSideData.build(
+            spark,
+            train_direct_df(spark),
+            lexicon_concepts_df(spark),
+            lexicon_genes_df(spark),
+            lexicon_variants_df(spark),
+        )
+        _SIDE_CACHE.clear()  # one live session at a time; drop stale apps
+        _SIDE_CACHE[key] = side
+    return side
+
+
 FIXTURE_BUILDERS = {
     "transcripts": transcripts_df,
     "lexicon_concepts": lexicon_concepts_df,

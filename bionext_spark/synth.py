@@ -124,6 +124,21 @@ EXTRA_CONVERSATIONS: list[tuple[str, list[str]]] = [
         ],
     ),
     ("conv9999", ["isolated GGG var 22 finding lacked gene context"]),
+    # conv9997 discriminates the gene-anchor semantics (reference
+    # seq_variant.py:388-404 anchors the nearest gene MENTION regardless of
+    # link outcome): under the zebrafish (7955) anchor taxon — in the gene
+    # KB but with NO embedding file — 'orphanol' gets zero candidates, so
+    # it has no vote winner at all; yet it is the variant's NEAREST gene,
+    # so the anchor must be orphanol with id '-' (not the farther, linked
+    # tp53): LitVar's gene_lookup guard fails and the LLM hop runs with
+    # gene '-'.
+    (
+        "conv9997",
+        [
+            "tp53 was mentioned once in the early zebrafish history",
+            "the sample later showed orphanol near the c76 / T variant",
+        ],
+    ),
 ]
 
 FILLER = (
@@ -262,6 +277,18 @@ def lexicon_variants_rows() -> list[dict[str, Any]]:
 
 def gene_symbols_rows() -> list[dict[str, Any]]:
     return [{"gene_id": g, "symbol": s} for g, s in GENE_SYMBOLS]
+
+
+def variant_fewshot_rows() -> list[dict[str, Any]]:
+    """K5 few-shot example memory (reference builds (amino-converted
+    mention, tmVar code, gene symbol) triples from BioRED train + tmVar,
+    seq_variant.py:324-341); the synth analog derives them from the
+    variant lexicon + gene symbols."""
+    sym = dict(GENE_SYMBOLS)
+    return [
+        {"mention": m, "code": c, "gene": sym.get(g, "-")}
+        for m, c, g in VARIANT_LEXICON
+    ]
 
 
 # --------------------------------------------------------------------------

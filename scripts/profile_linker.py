@@ -90,7 +90,7 @@ def main() -> None:
     )
     m_gene = step("gene_anchor", lambda: L._nearest_org_anchor(
         m.filter(F.col("label") == "GeneOrGeneProduct").drop("label", "key_kind"),
-        linked_orgs, genes,
+        linked_orgs, genes.select("tax_id").distinct(),
     ).localCheckpoint())
 
     gene_lex = L._gene_lexicon(train, genes)

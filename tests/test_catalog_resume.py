@@ -81,3 +81,21 @@ def test_iceberg_path_gated(spark, tmp_path):
     ice = StageCatalog(spark, str(tmp_path / "ck2"))
     df, m = ice.run_stage("t", lambda: spark.range(5).toDF("id"), ["in"], "fp")
     assert m.iceberg_snapshot_id is not None and df.count() == 5
+
+
+def test_resume_routes_by_committed_backend(spark, tmp_path):
+    """A stage committed under parquet must re-read as parquet even when a
+    LATER session believes it has an Iceberg catalog (manifest records the
+    backend; read() routes by it, not by the session's use_iceberg)."""
+    from bionext_spark.sources.catalog import StageCatalog
+
+    cat = StageCatalog(spark, str(tmp_path / "ck"))
+    _, m = cat.run_stage("s", lambda: spark.range(4).toDF("id"), ["in"], "fp")
+    assert m.backend == "parquet" and m.iceberg_ident is None
+
+    cat2 = StageCatalog(spark, str(tmp_path / "ck"))
+    # simulate an environment change: this session auto-detects iceberg
+    cat2.use_iceberg, cat2.catalog = True, "ice"
+    assert cat2.is_committed("s", m.snapshot_id)
+    df, m2 = cat2.run_stage("s", lambda: (_ for _ in ()).throw(AssertionError("recompute")), ["in"], "fp")
+    assert df.count() == 4 and m2.backend == "parquet"

@@ -87,6 +87,23 @@ def test_memoized_lookup(spark, tmp_path):
     assert out2 == {"a": "rs_a", "b": "rs_b", "unknown": "fresh_unknown"}
 
 
+def test_memo_dedupes_overlapping_appends(spark, tmp_path):
+    """Concurrent pipelines sharing a memo_dir can append the same key
+    twice; lookups must still return exactly one row per key (dedup on
+    read), and joins downstream must not fan out."""
+    memo_dir = str(tmp_path / "memo")
+    spark.createDataFrame([("a", "v1"), ("b", "v2")], "key string, value string").write.mode(
+        "append"
+    ).parquet(memo_dir)
+    spark.createDataFrame([("a", "v1"), ("c", "v3")], "key string, value string").write.mode(
+        "append"
+    ).parquet(memo_dir)
+    lk = MemoizedLookup(spark, memo_dir, adapter=None)
+    rows = lk.lookup(spark.createDataFrame([("a",), ("b",), ("c",)], "key string")).collect()
+    assert len(rows) == 3
+    assert {r["key"]: r["value"] for r in rows} == {"a": "v1", "b": "v2", "c": "v3"}
+
+
 def test_offline_mode(spark, tmp_path):
     lk = MemoizedLookup(spark, str(tmp_path / "m2"), adapter=None)
     out = {r["key"]: r["value"] for r in lk.lookup(spark.createDataFrame([("x",)], "key string")).collect()}

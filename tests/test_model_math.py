@@ -97,6 +97,114 @@ def test_marker_indexes():
     assert MM.marker_indexes(ids, {9, 8}).tolist() == [1, 3, 4]
 
 
+def test_gelu_known_values():
+    # exact erf-based GELU: gelu(0)=0, gelu(1)=0.5·(1+erf(1/√2))
+    assert MM.gelu(np.array([0.0]))[0] == 0.0
+    assert abs(MM.gelu(np.array([1.0]))[0] - 0.8413447460685429) < 1e-12
+    assert abs(MM.gelu(np.array([-1.0]))[0] - (-0.15865525393145707)) < 1e-12
+
+
+def _manual_single_query_attention(q, emb, valid, num_heads):
+    """Reference-by-construction MHA forward with identity projections."""
+    b, m, h = emb.shape
+    dh = h // num_heads
+    out = np.zeros((b, h))
+    for bi in range(b):
+        for hd in range(num_heads):
+            sl = slice(hd * dh, (hd + 1) * dh)
+            scores = np.array(
+                [
+                    q[sl] @ emb[bi, mi, sl] / np.sqrt(dh) if valid[bi, mi] else -np.inf
+                    for mi in range(m)
+                ]
+            )
+            w = np.exp(scores - scores[valid[bi]].max())
+            w[~valid[bi]] = 0.0
+            w = w / w.sum()
+            out[bi, sl] = sum(w[mi] * emb[bi, mi, sl] for mi in range(m))
+    return out
+
+
+def test_attention_pool_matches_manual_identity_proj():
+    """With identity in/out projections the pool is plain per-head softmax
+    attention of the learned query over valid markers — verified against a
+    loop-built reference for 1 and 2 heads."""
+    rng = np.random.RandomState(11)
+    h = 4
+    emb = rng.randn(3, 5, h)
+    valid = np.array(
+        [[True] * 5, [True, True, False, False, False], [True, False, False, False, False]]
+    )
+    emb[~valid] = 0.0
+    q = rng.randn(h)
+    eye = np.eye(h)
+    in_w = np.vstack([eye, eye, eye])
+    in_b = np.zeros(3 * h)
+    for num_heads in (1, 2):
+        got = MM.attention_pool_single_query(q, emb, valid, in_w, in_b, eye, np.zeros(h), num_heads)
+        want = _manual_single_query_attention(q, emb, valid, num_heads)
+        assert np.allclose(got, want, atol=1e-12)
+
+
+def test_attention_pool_hand_case_single_marker():
+    """One valid marker → softmax weight 1 → output = out_proj(v(marker))."""
+    rng = np.random.RandomState(5)
+    h = 4
+    emb = np.zeros((1, 3, h))
+    emb[0, 1] = rng.randn(h)
+    valid = np.array([[False, True, False]])
+    in_w = rng.randn(3 * h, h)
+    in_b = rng.randn(3 * h)
+    out_w = rng.randn(h, h)
+    out_b = rng.randn(h)
+    q = rng.randn(h)
+    got = MM.attention_pool_single_query(q, emb, valid, in_w, in_b, out_w, out_b, 2)
+    v = emb[0, 1] @ in_w[2 * h :].T + in_b[2 * h :]
+    assert np.allclose(got[0], v @ out_w.T + out_b, atol=1e-10)
+
+
+def test_attention_pool_padding_invariant():
+    """Appending -1-padded (invalid) marker slots never changes the output
+    — the key_padding_mask semantics of the reference head."""
+    rng = np.random.RandomState(9)
+    h = 6
+    emb = rng.randn(2, 3, h)
+    valid = np.ones((2, 3), dtype=bool)
+    in_w, in_b = rng.randn(3 * h, h), rng.randn(3 * h)
+    out_w, out_b = rng.randn(h, h), rng.randn(h)
+    q = rng.randn(h)
+    base = MM.attention_pool_single_query(q, emb, valid, in_w, in_b, out_w, out_b, 3)
+    emb_pad = np.concatenate([emb, np.zeros((2, 2, h))], axis=1)
+    valid_pad = np.concatenate([valid, np.zeros((2, 2), dtype=bool)], axis=1)
+    padded = MM.attention_pool_single_query(q, emb_pad, valid_pad, in_w, in_b, out_w, out_b, 3)
+    assert np.allclose(base, padded, atol=1e-12)
+
+
+def test_extractor_head_logits_hand_case():
+    """fc2(GELU(fc1(x))) with hand-picked weights, plus the no-novel path."""
+    pooled = np.array([[1.0, -1.0]])
+    fc1_w = np.array([[1.0, 0.0], [0.0, 1.0]])  # identity
+    fc1_b = np.zeros(2)
+    fc2_w = np.array([[2.0, 0.0]])  # picks 2·gelu(x0)
+    fc2_b = np.array([0.5])
+    rel, nov = MM.extractor_head_logits(pooled, fc1_w, fc1_b, fc2_w, fc2_b)
+    assert nov is None
+    assert abs(rel[0, 0] - (2 * 0.8413447460685429 + 0.5)) < 1e-12
+    rel2, nov2 = MM.extractor_head_logits(
+        pooled, fc1_w, fc1_b, fc2_w, fc2_b, fc1_w, fc1_b, fc2_w, fc2_b
+    )
+    assert np.allclose(rel2, rel) and np.allclose(nov2, rel)
+
+
+def test_train_derived_relation_mask():
+    """Per-(type-pair, class) mask: only observed classes unmask, and the
+    pair is symmetrized (reference data.py:119-121, 169-170)."""
+    mask = MM.train_derived_relation_mask([(0, 1, 2), (0, 1, 5)])
+    assert mask[0, 1, 2] == 0.0 and mask[1, 0, 2] == 0.0
+    assert mask[0, 1, 5] == 0.0 and mask[0, 1, 3] == MM.RELATION_MASK_NEGATIVE
+    assert mask[2, 3, 2] == MM.RELATION_MASK_NEGATIVE
+
+
 def test_hf_adapter_classes_import_clean_and_gated():
     """Adapter classes exist and fail with a clear message when torch is
     absent (this image); they must NOT import torch at module import."""

@@ -82,6 +82,30 @@ def test_all_variant_hops_exercised(oracle_links):
     assert v9999 and all(r["method"] == "llm" for r in v9999 if r["linked_id"] != "-")
 
 
+def test_unlinked_nearest_gene_still_anchors(oracle_links):
+    """conv9997 (reference seq_variant.py:388-404): the variant's nearest
+    gene 'orphanol' has NO vote winner (zebrafish taxon: in the gene KB,
+    no embedding file, no dict/backup match), but it must still be the
+    anchor — id '-', so LitVar's gene_lookup guard fails and the hop is
+    'llm', not 'litvar' via the farther linked tp53."""
+    v = [
+        r
+        for r in oracle_links
+        if r["conv_id"] == "conv9997" and r["label"] == "SequenceVariant"
+    ]
+    # the LLM fake answers gene '-' with no-code chatter → scrubs to '-';
+    # the OLD winners-only anchor (farther tp53 → gene 30590) would have
+    # produced 'p|SUB|V|185|E' here instead
+    assert v and all(r["linked_id"] == "-" for r in v)
+    assert all(r["linked_id"] != "p|SUB|V|185|E" for r in v)
+    orphanol = [
+        r
+        for r in oracle_links
+        if r["conv_id"] == "conv9997" and r["text"] == "orphanol"
+    ]
+    assert orphanol and all(r["linked_id"] == "-" for r in orphanol)
+
+
 def test_warm_memo_replays_offline(spark, transcripts, oracle_links, tmp_path):
     """Second run with NO adapters over the warmed memo tables reproduces
     the deep-hop links — the distributed analog of the reference's
