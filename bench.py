@@ -156,12 +156,19 @@ def measure_cpu_ceiling(n: int, n_runs: int = 3) -> dict:
     }
 
 
-def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000) -> dict:
+def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 2000) -> dict:
     """North-rule skew evidence: one pathological conversation (skew_turns
     turns) among normal ones; the salted two-phase assembly
-    (assemble_conversations(segment_size=...)) must stay near the
-    unsalted wall time on normal data while bounding the single-reducer
-    tail on the skewed conversation, with identical output."""
+    (assemble_conversations(segment_size=...)) must bound the
+    single-reducer tail on the skewed conversation, with identical output.
+
+    Evidence is BOTH wall time and, from the session's event log, the MAX
+    task duration per variant — the single-reducer tail is a task-level
+    phenomenon, so max-task-time shows the mechanism directly even when a
+    fast box hides it in wall terms (round-2's 200k-turn case finished in
+    0.89s either way and proved nothing)."""
+    import glob as _glob
+    import tempfile as _tf
     import time as _t
 
     from pyspark.sql import functions as F
@@ -169,7 +176,15 @@ def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000)
     from bionext_spark.operators.assemble import assemble_conversations
     from bionext_spark.session import get_spark
 
-    spark = get_spark(f"bench-skew-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    log_dir = _tf.mkdtemp(prefix="skew-events-")
+    spark = get_spark(
+        f"bench-skew-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.dir": f"file://{log_dir}",
+        },
+    )
     filler = "the quick brown biomedical fox discussed tp53 with aspirin "
     big = spark.range(skew_turns).select(
         F.lit("conv_big").alias("conv_id"),
@@ -184,6 +199,7 @@ def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000)
     t = big.unionByName(normal).localCheckpoint()
     out = {"skew_turns": skew_turns, "n_normal_convs": n_normal, "cores": cores}
     sums = {}
+    windows = {}
     for label, seg in (("unsalted", 0), ("salted", 128)):
         t0 = _t.time()
         df = assemble_conversations(t, segment_size=seg)
@@ -191,9 +207,34 @@ def run_skew(cores: int = CPUS, skew_turns: int = 200_000, n_normal: int = 2000)
             F.sum(F.crc32(F.col("doc_text"))).alias("crc"), F.sum("n_turns").alias("nt")
         ).collect()[0]
         out[f"seconds_{label}"] = round(_t.time() - t0, 2)
+        windows[label] = (t0 * 1e3, _t.time() * 1e3)
         sums[label] = (row["crc"], row["nt"])
     out["outputs_identical"] = sums["unsalted"] == sums["salted"]
     spark.stop()
+    # attribute each task to its variant by launch-time window; the tail
+    # IS the max task
+    try:
+        maxes = {k: 0.0 for k in windows}
+        for path in _glob.glob(os.path.join(log_dir, "*")) + _glob.glob(
+            os.path.join(log_dir, "*", "*")
+        ):
+            if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    ev = json.loads(line)
+                    ti = ev.get("Task Info", {})
+                    launch = ti.get("Launch Time", 0)
+                    dur = (ti.get("Finish Time", 0) - launch) / 1e3
+                    for k, (lo, hi) in windows.items():
+                        if lo <= launch <= hi:
+                            maxes[k] = max(maxes[k], dur)
+        for k, v in maxes.items():
+            out[f"max_task_seconds_{k}"] = round(v, 2)
+    except Exception:  # pragma: no cover - evidence is best-effort
+        pass
     return out
 
 
@@ -263,7 +304,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--scaling-n", type=int, default=4)
     ap.add_argument("--replicate", type=int, default=1)
-    ap.add_argument("--scaling-replicate", type=int, default=8)
+    # 24 makes steady-state compute dominate the ~20s per-run serial
+    # constant measured by scripts/profile_jobs.py (at 8, that constant
+    # alone bounds local N->4N efficiency to ~0.67 even with every stage
+    # perfectly parallel; a real 4N-executor cluster amortizes it across
+    # machines)
+    ap.add_argument("--scaling-replicate", type=int, default=24)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cold", action="store_true", help="skip the warm-up pass in --phase kg")
     ap.add_argument("--runs", type=int, default=3, help="runs per scaling point (spread is recorded)")

@@ -312,7 +312,16 @@ class LinkerSideData:
         gd_keys = sorted({(t, a) for (t, a, _g, _rk, p) in gene_rows if p <= 1})
 
         def local_df(rows, schema):
-            return spark.createDataFrame(rows, schema).coalesce(1)
+            # cache + materialize NOW: a local-rows DataFrame is scanned by
+            # re-deserializing pickled python batches through a python
+            # worker; every broadcast build that references it would pay
+            # that (measured ~2.5s per build — a per-RUN serial constant,
+            # 6+ builds per pipeline run). One count() here pins the rows
+            # JVM-side for the session, so each later broadcast build is a
+            # sub-100ms cached-scan job.
+            df = spark.createDataFrame(rows, schema).coalesce(1).cache()
+            df.count()
+            return df
 
         return LinkerSideData(
             local_df(dict_rows, DICT_LEX_SCHEMA),

@@ -68,6 +68,7 @@ def main() -> None:
 
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
+    sql_desc: dict[str, str] = {}
     paths = [
         p
         for pat in ("*", "*/*")
@@ -95,25 +96,30 @@ def main() -> None:
                 e = ev.get("Event")
                 if e == "SparkListenerJobStart":
                     jid = ev["Job ID"]
+                    props = ev.get("Properties", {})
                     jobs[jid] = {
                         "start": ev["Submission Time"],
-                        "site": ev.get("Properties", {}).get("callSite.short", ""),
-                        "desc": (ev.get("Properties", {}).get("spark.job.description") or "")[:60],
+                        "site": props.get("callSite.short", ""),
+                        "desc": (props.get("spark.job.description") or "")[:60],
+                        "exec_id": props.get("spark.sql.execution.id"),
                         "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
                     }
+                elif e and e.endswith("SparkListenerSQLExecutionStart"):
+                    sql_desc[str(ev.get("executionId"))] = (ev.get("description") or "")[:60]
                 elif e == "SparkListenerJobEnd":
                     jid = ev["Job ID"]
                     if jid in jobs:
                         jobs[jid]["end"] = ev["Completion Time"]
                 elif e == "SparkListenerStageCompleted":
                     si = ev["Stage Info"]
-                    stages[si["Stage ID"]] = {
-                        "tasks": si["Number of Tasks"],
-                        "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1e3,
-                    }
+                    d = stages.setdefault(si["Stage ID"], {})
+                    # merge — the TaskEnd events for this stage already
+                    # accumulated task_sum into the same dict
+                    d["tasks"] = si["Number of Tasks"]
+                    d["wall"] = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1e3
                 elif e == "SparkListenerTaskEnd":
                     sid = ev["Stage ID"]
-                    d = stages.setdefault(sid, {"tasks": 0, "wall": 0})
+                    d = stages.setdefault(sid, {})
                     ti = ev.get("Task Info", {})
                     d["task_sum"] = d.get("task_sum", 0) + (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1e3
 
@@ -132,7 +138,8 @@ def main() -> None:
         tot_job += dur
         ts = sum(stages.get(s, {}).get("task_sum", 0) for s in j["stages"])
         nt = sum(stages.get(s, {}).get("tasks", 0) for s in j["stages"] if stages.get(s, {}).get("task_sum"))
-        rows.append((jid, round(gap, 2), round(dur, 2), len(j["stages"]), nt, round(ts, 1), j["site"] or j["desc"]))
+        label = j["site"] or j["desc"] or sql_desc.get(str(j.get("exec_id")), "")
+        rows.append((jid, round(gap, 2), round(dur, 2), len(j["stages"]), nt, round(ts, 1), label))
 
     print(f"wall={wall:.1f}s  jobs={len(rows)}  sum(job wall)={tot_job:.1f}s  sum(gaps)={tot_gap:.1f}s")
     print(f"{'job':>4} {'gap':>7} {'dur':>8} {'#st':>4} {'#tk':>5} {'taskSum':>8}  site")
