@@ -554,6 +554,67 @@ FROM events GROUP BY user_id
 """
 
 
+def kg_canonical_components(spark, sf):
+    """Canonicalization core (north_star stage 4 — reference has no
+    analog; the engine's connected-components operator,
+    operators/canonicalize.py): a deterministic multi-relation alias
+    graph over documents — star edges within (lang, source) groups and
+    within (lang, n_chars % 7) groups; the two relations overlap, so
+    merging them into components requires multi-hop min propagation,
+    which is exactly what the iterative hash-to-min + pointer-jump
+    operator does. Returns every document with its component id
+    (= min doc_id reachable over either alias relation)."""
+    from bionext_spark.operators.canonicalize import connected_components
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+
+    def star(*keys):
+        w = Window.partitionBy(*keys)
+        return (
+            d.withColumn("grp_min", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("grp_min"))
+            .select(F.col("grp_min").alias("a"), F.col("doc_id").alias("b"))
+        )
+
+    edges = star("lang", "source").unionByName(
+        star("lang", F.col("n_chars") % 7)
+    ).distinct()
+    verts = d.select(F.col("doc_id").alias("vertex_id"))
+    return connected_components(verts, edges).select("vertex_id", "component")
+
+
+# Oracle: components via recursive reachability closure — component =
+# min reachable vertex, the same definition the iterative operator
+# converges to (closure is O(sum |C|^2) rows: fine at oracle scale,
+# which is exactly why the engine side iterates instead).
+KG_CANONICAL_SQL = """
+WITH RECURSIVE
+e1 AS (
+  SELECT min(doc_id) OVER (PARTITION BY lang, source) AS a, doc_id AS b
+  FROM documents
+),
+e2 AS (
+  SELECT min(doc_id) OVER (PARTITION BY lang, n_chars % 7) AS a, doc_id AS b
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT a, b FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+  WHERE a <> b
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT b AS src, a AS dst FROM edges
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.v, s.dst FROM reach JOIN sym s ON reach.r = s.src
+)
+SELECT v AS vertex_id, min(r) AS component FROM reach GROUP BY v
+"""
+
+
 def kg_pair_mask(spark, sf):
     """J5 analog with a type-compatibility mask: distinct event types per
     user self-joined under an inline valid-pair table."""
@@ -727,6 +788,7 @@ CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "kg_assemble_events": (kg_assemble_events, KG_ASSEMBLE_SQL),
+    "kg_canonical_components": (kg_canonical_components, KG_CANONICAL_SQL),
     "kg_pair_mask": (kg_pair_mask, KG_PAIR_MASK_SQL),
     "kg_variant_cascade": (kg_variant_cascade, KG_VARIANT_SQL),
 }

@@ -38,7 +38,15 @@ def alias_edges(links: DataFrame) -> DataFrame:
 def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(vertex_id) + (a, b) undirected edges → (vertex_id, component).
 
-    Component id = min vertex id in the component (string ordering)."""
+    Component id = min vertex id in the component (min on the column's
+    own type ordering). Each round does (1) one-hop neighbor-min
+    propagation and (2) a pointer jump (component ← component[component]
+    — monotone, since a component id is itself a vertex whose own
+    component can only be smaller), so convergence is O(log diameter)
+    rounds, not O(diameter): a 10^6-long alias chain resolves in ~20
+    rounds instead of 10^6. The changed-row check makes termination
+    exact; max_iter is only a runaway bound (2^max_iter diameter
+    coverage)."""
     sym = edges.selectExpr("a as src", "b as dst").union(edges.selectExpr("b as src", "a as dst"))
     sym = sym.localCheckpoint()
     cc = vertices.select(F.col("vertex_id"), F.col("vertex_id").alias("component"))
@@ -48,13 +56,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame, max_iter: int = 
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        hopped = cc.join(nbr_min, cc.vertex_id == nbr_min.src, "left").select(
+            "vertex_id",
+            F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias(
+                "component"
+            ),
+        )
+        ptr = hopped.selectExpr("vertex_id as cvid", "component as ccomp")
         new_cc = (
-            cc.join(nbr_min, cc.vertex_id == nbr_min.src, "left")
+            hopped.join(ptr, hopped.component == ptr.cvid, "left")
             .select(
                 "vertex_id",
-                F.least(F.col("component"), F.coalesce("nbr_component", F.col("component"))).alias(
-                    "component"
-                ),
+                F.coalesce("ccomp", "component").alias("component"),
             )
             .localCheckpoint()
         )
