@@ -97,6 +97,11 @@ def run_queries() -> tuple[dict[str, float], float]:
 
     registry = {**RELATIONAL, **CORPUS}
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    # untimed warmup: JVM JIT, codegen, Arrow, parquet footers + OS page
+    # cache for the big tables — otherwise the first query (q1) absorbs
+    # ~3s of session warmup that belongs to no query
+    for name in ("lineitem", "orders", "events", "documents"):
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
