@@ -147,3 +147,64 @@ def stateful_conversation_progress(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def conversation_progress_tws(
+    transcripts_stream: DataFrame,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The same per-conversation progress operator on Spark 4's arbitrary
+    stateful API v2 (``transformWithStateInPandas`` + ``StatefulProcessor``)
+    — the engine's forward path for custom streaming state:
+
+    * typed, named state variables (here one ValueState of ``n long``)
+      instead of applyInPandasWithState's single struct blob;
+    * per-state TTL (``state_ttl_ms``) — the state store itself evicts
+      idle conversations, no processing-time timer loop needed, which is
+      what actually bounds state at 10^12-turn scale AND stays compatible
+      with availableNow drains (the PTT-based timeout in the v1 operator
+      spins on empty batches there — see stateful_conversation_progress);
+    * RocksDB-backed state with changelog checkpointing on a cluster.
+
+    Output rows match stateful_conversation_progress's non-closed rows
+    (drained-vs-batch equality tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Progress(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n_turns", "n long", state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (conv_id,) = key
+            n_new, lo, hi = 0, None, None
+            for pdf in rows:
+                n_new += len(pdf)
+                if len(pdf):
+                    mn, mx = int(pdf["turn_idx"].min()), int(pdf["turn_idx"].max())
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+            n = (self._n.get()[0] if self._n.exists() else 0) + n_new
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n],
+                    "first_turn_idx": [lo],
+                    "last_turn_idx": [hi],
+                    "closed": [False],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return transcripts_stream.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=Progress(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

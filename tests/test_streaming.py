@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from bionext_spark.operators.assemble import assemble_conversations
 from bionext_spark.sources.fixtures import transcripts_df
 from bionext_spark.streaming import run_incremental
@@ -158,3 +160,50 @@ def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
     # the on-time windows that closed carry the correct on-time counts
     for r in out:
         assert r["n_turns"] >= 1 and r["window_start"] >= base
+
+
+def test_conversation_progress_tws_matches_v1(spark, transcripts_rows, tmp_path):
+    """transformWithStateInPandas (stateful API v2, RocksDB state store):
+    drained per-conversation counts equal the batch truth — same contract
+    as the applyInPandasWithState operator.
+
+    Needs protobuf (the python<->JVM state-server protocol) — absent in
+    this image, so the test gates on it like the Iceberg-jar test; the
+    operator itself is import-clean without it."""
+    pytest.importorskip("google.protobuf")
+    from collections import defaultdict
+
+    from bionext_spark.sources.fixtures import transcripts_df
+    from bionext_spark.streaming import conversation_progress_tws, stream_transcripts
+
+    in_dir = str(tmp_path / "in_tws")
+    transcripts_df(spark, transcripts_rows).repartition(4).write.parquet(in_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            conversation_progress_tws(stream_transcripts(spark, in_dir))
+            .writeStream.format("memory")
+            .queryName("conv_progress_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.table("conv_progress_tws").collect()
+    last: dict[str, int] = {}
+    for r in rows:
+        last[r["conv_id"]] = max(last.get(r["conv_id"], 0), r["n_turns"])
+    exp = defaultdict(int)
+    for t in transcripts_rows:
+        exp[t["conv_id"]] += 1
+    assert last == dict(exp)
