@@ -39,6 +39,12 @@ def derive_transcripts(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
     make compute dominate the fixed per-job planning cost."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if replicate > 1:
+        # scan parallelism = file count; a single small parquet file would
+        # make the replicate expansion + the window's shuffle WRITE side
+        # run in ONE task (measured: a 7s single-task job at replicate 96
+        # — the map side of the first shuffle was serial). Spread the base
+        # rows first; the shuffle is tiny (pre-expansion).
+        e = e.repartition(spark.sparkContext.defaultParallelism)
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         e = e.crossJoin(F.broadcast(reps)).withColumn(
             "user_id", F.col("user_id") + F.col("rep") * 10_000_000
