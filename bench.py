@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_cosine",
     "ann_lsh_bucket",
+    "ann_ivf_probe",
     "text_stats",
     "text_fingerprint",
 ]

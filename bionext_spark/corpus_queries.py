@@ -15,8 +15,9 @@ Scale notes (these run on 100 TB, the SQL oracle only at sf=0.01):
 * simhash: token-hash bit-majority folded to a 16-bit signature; pairs
   within hamming ≤ k join on signature bands.
 * ANN: brute-force cosine top-k as the exact baseline; LSH sign-bucket
-  variant as the scale path (hyperplanes = fixed rows of the table, so
-  both engines agree without a RNG).
+  and IVF nprobe variants as the scale paths (hyperplanes/codebook =
+  fixed rows of the table, so both engines agree without a RNG; vectors
+  are bucketed/assigned in a zero-shuffle broadcast projection).
 """
 
 from __future__ import annotations
@@ -435,6 +436,102 @@ WHERE rnk <= 5
 """
 
 
+def ann_ivf_probe(spark, sf):
+    """IVF scale path: an 8-entry coarse codebook (rows vec_id 1..8 — a
+    trained k-means codebook would be broadcast exactly the same way),
+    every vector assigned to its best-cosine centroid in ONE broadcast
+    projection (zero shuffle — same shape as the LSH signature pass: at
+    100 TB the vectors must not move to be assigned), the query probes
+    its nprobe=2 best lists, exact cosine top-5 within the probed lists.
+    Ties on assignment keep the lowest centroid id (ascending fold with
+    strict >)."""
+    em = t(spark, sf, "embeddings")
+    cents = (
+        em.filter(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+    cos_c = (
+        _DOT.format(a="embedding", b="c.cv")
+        + " / (" + _NORM.format(a="embedding") + " * " + _NORM.format(a="c.cv") + ")"
+    )
+    assign_expr = (
+        "aggregate(cents, named_struct('cid', cast(-1 as long), 'cos', cast(-2 as double)), "
+        f"(acc, c) -> CASE WHEN {cos_c} > acc.cos "
+        f"THEN named_struct('cid', cast(c.cid as long), 'cos', {cos_c}) ELSE acc END).cid"
+    )
+    assigned = em.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", F.expr(assign_expr).alias("list_id")
+    )
+    # query's nprobe=2 best centroids, ranked exactly like the assignment
+    q = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qprobe = (
+        em.filter(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            (
+                F.expr(_DOT.format(a="cv", b="qv"))
+                / (F.expr(_NORM.format(a="cv")) * F.expr(_NORM.format(a="qv")))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "cid")
+        .limit(2)
+        .select(F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "list_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.expr(_DOT.format(a="embedding", b="qv"))
+                / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+            ).alias("cos"),
+        )
+    )
+    return _ranked_topk(scored, 5, F.desc("cos"), "vec_id").select("vec_id", "rnk")
+
+
+ANN_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+assigned AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, c.cv)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+    FROM embeddings e, cents c)
+  WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qprobe AS (
+  SELECT cid AS list_id FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_dot_product(c.cv, qv)
+                      / (sqrt(list_dot_product(c.cv, c.cv))
+                         * sqrt(list_dot_product(qv, qv))) DESC, c.cid) AS rn
+    FROM cents c, q)
+  WHERE rn <= 2),
+scored AS (
+  SELECT a.vec_id,
+         list_dot_product(a.embedding, qv)
+           / (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM assigned a JOIN qprobe USING (list_id), q
+  WHERE a.vec_id <> 0)
+SELECT vec_id, rnk FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup: top-20 most-similar vector pairs within a keyed
     sample (vec_id % 5 = 0); rank output."""
@@ -795,6 +892,7 @@ CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "ann_topk_cosine": (ann_topk_cosine, ANN_TOPK_SQL),
     "ann_lsh_bucket": (ann_lsh_bucket, ANN_LSH_SQL),
+    "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_SQL),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "kg_assemble_events": (kg_assemble_events, KG_ASSEMBLE_SQL),
