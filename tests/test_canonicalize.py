@@ -37,3 +37,60 @@ def test_alias_edges_and_graph(spark):
     e = out_edges.collect()
     assert len(e) == 1 and e[0]["src"] == "7157" and e[0]["dst"] == "D001241"
     assert e[0]["n_conversations"] == 1
+
+
+def _union_find_reference(vertices, edges):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min vertex id in the set
+    comp = {}
+    for v in vertices:
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_long_chain_converges_within_default_rounds(spark):
+    """Pointer jumping: a 200-vertex chain has diameter 200 but must
+    resolve within the default max_iter=20 (2^20 diameter coverage) —
+    the pre-jump one-hop form needed one round per hop and silently
+    returned WRONG components here."""
+    n = 200
+    verts = spark.createDataFrame([(f"v{i:03d}",) for i in range(n)], "vertex_id string")
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)], "a string, b string"
+    )
+    cc = {r["vertex_id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert cc == {f"v{i:03d}": "v000" for i in range(n)}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs (mixed chains, stars, cross-links, isolated
+    vertices) vs a pure-python union-find reference."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 60
+        vertices = [f"n{i:02d}" for i in range(n)]
+        edges = [
+            (vertices[rng.randrange(n)], vertices[rng.randrange(n)])
+            for _ in range(rng.randrange(20, 70))
+        ]
+        verts_df = spark.createDataFrame([(v,) for v in vertices], "vertex_id string")
+        edges_df = spark.createDataFrame(edges, "a string, b string")
+        got = {
+            r["vertex_id"]: r["component"]
+            for r in connected_components(verts_df, edges_df).collect()
+        }
+        assert got == _union_find_reference(vertices, edges), f"seed {seed}"
