@@ -173,7 +173,6 @@ def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 200
     phenomenon, so max-task-time shows the mechanism directly even when a
     fast box hides it in wall terms (round-2's 200k-turn case finished in
     0.89s either way and proved nothing)."""
-    import glob as _glob
     import tempfile as _tf
     import time as _t
 
@@ -220,23 +219,16 @@ def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 200
     # attribute each task to its variant by launch-time window; the tail
     # IS the max task
     try:
+        from bionext_spark.sparklog import iter_task_end
+
         maxes = {k: 0.0 for k in windows}
-        for path in _glob.glob(os.path.join(log_dir, "*")) + _glob.glob(
-            os.path.join(log_dir, "*", "*")
-        ):
-            if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
-                continue
-            with open(path) as f:
-                for line in f:
-                    if '"SparkListenerTaskEnd"' not in line:
-                        continue
-                    ev = json.loads(line)
-                    ti = ev.get("Task Info", {})
-                    launch = ti.get("Launch Time", 0)
-                    dur = (ti.get("Finish Time", 0) - launch) / 1e3
-                    for k, (lo, hi) in windows.items():
-                        if lo <= launch <= hi:
-                            maxes[k] = max(maxes[k], dur)
+        for ev in iter_task_end(log_dir):
+            ti = ev.get("Task Info", {})
+            launch = ti.get("Launch Time", 0)
+            dur = (ti.get("Finish Time", 0) - launch) / 1e3
+            for k, (lo, hi) in windows.items():
+                if lo <= launch <= hi:
+                    maxes[k] = max(maxes[k], dur)
         for k, v in maxes.items():
             out[f"max_task_seconds_{k}"] = round(v, 2)
     except Exception:  # pragma: no cover - evidence is best-effort

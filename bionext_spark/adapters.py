@@ -125,7 +125,10 @@ def build_fewshot_prompt(text: str, gene: str, shots) -> str:
         "Examples provided for your reference:",
         "",
     ]
-    for s in shots or []:
+    # NOT `shots or []`: the Spark path delivers numpy arrays (Arrow →
+    # pandas turns array<struct> cells into ndarray), whose truthiness
+    # raises for length >= 2
+    for s in (shots if shots is not None else []):
         lines.append(f"Gene: {s['gene']} Mention: {s['mention']} Code: {s['code']}")
     lines.append("Now, complete the last entry:")
     lines.append(f"Gene: {gene} Mention: {text} Code: ")

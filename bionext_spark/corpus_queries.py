@@ -178,12 +178,17 @@ def dedup_minhash_lsh(spark, sf, barrier=None):
     return j.filter(F.col("jaccard") >= 0.5).select("doc1", "doc2", "jaccard")
 
 
-def minhash_catalog_barrier(catalog, inputs=("documents",), fingerprint="minhash-digests"):
+def minhash_catalog_barrier(catalog, inputs, fingerprint):
     """Durable barrier for dedup_minhash_lsh inside a pipeline: commits the
     per-doc digest table through StageCatalog (snapshotted parquet/Iceberg
     + manifest), so the shingle sweep is resumable and nothing pins
     executor storage — the 100 TB replacement for the standalone
-    localCheckpoint."""
+    localCheckpoint.
+
+    ``inputs``/``fingerprint`` are REQUIRED and must identify the corpus
+    version (e.g. the documents stage's snapshot id): the stage snapshot
+    id is hash(stage, inputs, fingerprint), so constant defaults would
+    silently resume STALE digests after the corpus changes."""
 
     def barrier(df):
         out, _ = catalog.run_stage(

@@ -208,7 +208,20 @@ def attention_pool_single_query(
     attending over the marker-token embeddings, padding masked out
     (reference modeling_bionextextractor.py:163-196:
     ``MHattention_layer(weight, embeddings, embeddings,
-    key_padding_mask=~mask)``). Returns (batch, hidden)."""
+    key_padding_mask=~mask)``). Returns (batch, hidden).
+
+    Raises on a row with zero valid markers: all-(-inf) scores would turn
+    the softmax into NaN and the adapter would silently emit NaN logits —
+    the same fabricated-output failure mode the adapter refuses for bad
+    checkpoints. (Marker-less chunks are filtered engine-side (P4); a row
+    reaching here without markers means truncation ate them — a
+    configuration error worth failing loudly on.)"""
+    if not np.asarray(valid).any(axis=-1).all():
+        bad = int(np.flatnonzero(~np.asarray(valid).any(axis=-1))[0])
+        raise ValueError(
+            f"attention_pool_single_query: batch row {bad} has zero valid "
+            "markers (truncated past max_length?) — refusing to emit NaN"
+        )
     b, m, h = embeddings.shape
     dh = h // num_heads
     wq, wk, wv = in_proj_weight[:h], in_proj_weight[h : 2 * h], in_proj_weight[2 * h :]

@@ -679,7 +679,11 @@ def _variant_candidates(
         amino = convert_amino_acids_udf()
         v_llm = v_llm.withColumn("amino_text", amino(llm_text)).withColumn(
             "key", F.concat_ws("\x00", F.col("amino_text"), llm_gene)
-        )
+        ).cache()
+        # cache: v_llm's subplan (anchor join + anti-join vs every prior
+        # hop) is consumed up to THREE times — few-shot retrieval, the
+        # memoized lookup, and the final hop join; uncached, each re-ran
+        # the whole chain as extra serial jobs on the linker critical path
         if fewshot_examples is not None:
             # K5 engine-side retrieval: the top-k > threshold examples for
             # each distinct amino-converted text ride the lookup as a

@@ -140,6 +140,12 @@ class StageCatalog:
         if self.is_committed(stage, snapshot_id):
             m = self.read_manifest(stage, snapshot_id)
             backend, ident = m.backend, m.iceberg_ident
+            # manifests written before the backend field existed default to
+            # "parquet" on deserialize, but an Iceberg commit is
+            # unambiguous from its snapshot id — never route it to a
+            # parquet path that was never written
+            if m.iceberg_snapshot_id is not None:
+                backend = "iceberg"
         if backend == "iceberg":
             return self.spark.read.table(ident or self._iceberg_ident(stage, snapshot_id))
         return self.spark.read.parquet(os.path.join(self._stage_dir(stage, snapshot_id), "data"))

@@ -206,5 +206,7 @@ def conversation_progress_tws(
         statefulProcessor=Progress(),
         outputStructType=SESSION_OUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        # state TTL requires a clock: Spark rejects TTL under
+        # timeMode=None (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )

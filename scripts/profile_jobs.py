@@ -14,7 +14,6 @@ Usage: python scripts/profile_jobs.py --cores 16 --replicate 8
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -66,33 +65,12 @@ def main() -> None:
         spark.stop()
         print(f"eventlog: {log_dir}")
 
+    from bionext_spark.sparklog import iter_events
+
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     sql_desc: dict[str, str] = {}
-    paths = [
-        p
-        for pat in ("*", "*/*")
-        for p in glob.glob(os.path.join(log_dir, pat))
-        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
-    ]
-
-    def open_log(p):
-        if p.endswith(".zstd"):
-            import subprocess as sp
-
-            out = sp.run(["zstd", "-dc", p], capture_output=True)
-            import io
-
-            return io.StringIO(out.stdout.decode())
-        return open(p)
-
-    for path in paths:
-        with open_log(path) as f:
-            for line in f:
-                try:
-                    ev = json.loads(line)
-                except Exception:
-                    continue
+    for ev in iter_events(log_dir):
                 e = ev.get("Event")
                 if e == "SparkListenerJobStart":
                     jid = ev["Job ID"]

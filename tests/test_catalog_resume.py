@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bionext_spark.sources.catalog import StageCatalog
@@ -99,3 +100,37 @@ def test_resume_routes_by_committed_backend(spark, tmp_path):
     assert cat2.is_committed("s", m.snapshot_id)
     df, m2 = cat2.run_stage("s", lambda: (_ for _ in ()).throw(AssertionError("recompute")), ["in"], "fp")
     assert df.count() == 4 and m2.backend == "parquet"
+
+
+def test_legacy_iceberg_manifest_routes_to_iceberg(spark, tmp_path):
+    """Manifests written before the backend field default to 'parquet' on
+    deserialize; an Iceberg commit is unambiguous from its snapshot id and
+    must not be routed to a parquet path that was never written."""
+    import json
+    import os
+
+    from bionext_spark.sources.catalog import StageCatalog
+
+    cat = StageCatalog(spark, str(tmp_path / "ck"))
+    _, m = cat.run_stage("s", lambda: spark.range(3).toDF("id"), ["in"], "fp")
+    # simulate a legacy Iceberg manifest: strip the backend fields, set the
+    # iceberg snapshot id
+    mp = cat._manifest_path("s", m.snapshot_id)
+    raw = json.load(open(mp))
+    raw.pop("backend", None)
+    raw.pop("iceberg_ident", None)
+    raw["iceberg_snapshot_id"] = 12345
+    json.dump(raw, open(mp, "w"))
+
+    cat2 = StageCatalog(spark, str(tmp_path / "ck"))
+    m2 = cat2.read_manifest("s", m.snapshot_id)
+    assert m2.backend == "parquet"  # the stale deserialize default
+    # read() must route to the ICEBERG path: with no catalog configured
+    # here, that means a table-resolution error — NOT a successful read of
+    # the parquet data dir (which exists in this fixture but would be
+    # absent for a real legacy Iceberg commit)
+    with pytest.raises(Exception) as ei:
+        cat2.read("s", m.snapshot_id)
+    # the error names the iceberg table ident's namespace — proof the read
+    # attempted spark.read.table(<ident>), not the parquet data dir
+    assert "bionext" in str(ei.value)

@@ -177,3 +177,19 @@ def test_llm_hop_receives_engine_selected_examples(spark, tmp_path):
         assert rec["shots"] is None or all(
             set(s) == {"gene", "mention", "code"} for s in rec["shots"]
         )
+
+
+def test_prompt_handles_numpy_shots():
+    """The Spark path delivers shots as numpy arrays (Arrow -> pandas turns
+    array<struct> cells into ndarray); `shots or []` raised on len >= 2."""
+    np_shots = np.array(
+        [
+            {"gene": "BRAF", "mention": "v600e", "code": "p|SUB|V|600|E"},
+            {"gene": "TP53", "mention": "c76a", "code": "c|SUB|C|76|A"},
+        ],
+        dtype=object,
+    )
+    prompt = build_fewshot_prompt("g5x", "EGFR", np_shots)
+    assert "Gene: BRAF Mention: v600e" in prompt
+    assert build_fewshot_prompt("g5x", "EGFR", None).count("Gene:") == 1
+    assert build_fewshot_prompt("g5x", "EGFR", np.array([], dtype=object)).count("Gene:") == 1

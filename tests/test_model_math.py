@@ -217,3 +217,32 @@ def test_hf_adapter_classes_import_clean_and_gated():
         for cls in (adapters.HFTaggerAdapter, adapters.HFEncoderAdapter, adapters.HFRelationAdapter):
             with pytest.raises(RuntimeError, match="torch"):
                 cls("some/checkpoint")
+
+
+def test_attention_pool_refuses_zero_valid_markers():
+    """A row whose markers were all truncated away must raise, not emit
+    NaN logits (all -inf scores -> NaN softmax)."""
+    import numpy as np
+    import pytest
+
+    from bionext_spark import model_math as MM
+
+    h, nh = 4, 2
+    rng = np.random.default_rng(0)
+    args = dict(
+        query=rng.normal(size=h),
+        embeddings=rng.normal(size=(2, 3, h)),
+        in_proj_weight=rng.normal(size=(3 * h, h)),
+        in_proj_bias=rng.normal(size=3 * h),
+        out_proj_weight=rng.normal(size=(h, h)),
+        out_proj_bias=rng.normal(size=h),
+        num_heads=nh,
+    )
+    ok = MM.attention_pool_single_query(
+        valid=np.array([[True, False, False], [True, True, False]]), **args
+    )
+    assert np.isfinite(ok).all()
+    with pytest.raises(ValueError, match="zero valid markers"):
+        MM.attention_pool_single_query(
+            valid=np.array([[True, True, True], [False, False, False]]), **args
+        )
