@@ -370,11 +370,19 @@ def _write_bench_baseline(result: dict) -> None:
             "## KG pipeline scaling (north-rule N vs 4N evidence)",
             "",
             "Same job, same input (events-derived transcripts, "
-            f"replicate={s.get('replicate')}, {s.get('turns')} turns), fresh JVM per run;",
+            f"replicate={s.get('replicate')}, {s.get('turns')} turns); "
+            f"protocol = {s.get('protocol', 'warm')} (each subprocess JVM runs the identical "
+            "pipeline untimed on the sf0.01 twin first — steady state is the "
+            f"regime a 10^12-turn job lives in), best-of-{s.get('runs_per_point', 3)} "
+            "with every per-run wall time recorded; fresh JVM per run;",
             "4N capped at half the machine so JVM task threads and Python kernel",
-            "workers never oversubscribe the box.",
+            "workers never oversubscribe the box. replicate makes steady-state",
+            "compute dominate the measured ~20s per-run serial constant",
+            "(assemble/tagger checkpoint chain + small AQE stage-jobs in the",
+            "linker — scripts/profile_jobs.py names each contributor), which a",
+            "real 4N-executor cluster amortizes across machines.",
             "",
-            "| cores | seconds (best of 2) | turns/sec |",
+            f"| cores | seconds (best of {s.get('runs_per_point', 3)}, all runs) | turns/sec |",
             "| --- | --- | --- |",
             f"| {s.get('cores_n')} (N) | {s.get('seconds_n')} {s.get('seconds_n_runs')} | {s.get('turns_per_sec_n')} |",
             f"| {s.get('cores_4n')} (4N) | {s.get('seconds_4n')} {s.get('seconds_4n_runs')} | {s.get('turns_per_sec_4n')} |",
@@ -384,20 +392,25 @@ def _write_bench_baseline(result: dict) -> None:
             f"**Weak-scaling efficiency = {s.get('weak_efficiency', 'n/a')}** "
             f"(N cores on {s.get('turns')} turns vs 4N cores on "
             f"{s.get('weak_turns_4x', 'n/a')} turns, wall {s.get('seconds_n')}s vs "
-            f"{s.get('weak_seconds_4n_4x', 'n/a')}s; ideal = 1.0) — the regime the "
+            f"{s.get('weak_seconds_4n_4x', 'n/a')}s, runs "
+            f"{s.get('weak_seconds_4n_4x_runs', [])}; ideal = 1.0) — the regime the "
             "10^12-turn goal implies: executor count grows WITH the data.",
             "",
-            "Round-over-round context: relative to round 1 this round's engine is",
-            "+67%+ turns/sec at 4N and +100%+ at N on the same input (round 1:",
-            "2519 tps @N, 5125 tps @4N; see BENCH_r01.json). The strong-scaling",
-            "RATIO moves opposite to real speed here: every CPU-efficiency win",
-            "(fewer shuffles, bucketed kernels) helps the N-core side ~4× more",
-            "in wall terms, while local[4N] sits on a per-run constant (~40s of",
-            "66 small stages + driver planning, see stage-timeline note below)",
-            "that a real 4N-executor cluster amortizes across machines.",
+            "Round-over-round: round-2 recorded 5,697 tps @N / 10,725 tps @4N",
+            "cold at replicate 8 with strong efficiency 0.471; the round-3",
+            "engine (session-memoized JVM-pinned linker side data, warm",
+            "protocol, replicate 24) roughly doubles 4N throughput and lifts",
+            "the raw ratio by attacking the serial constant directly.",
+            "Losing config A/Bs, recorded so they are not retried: kernel",
+            "parallelism 2-3× cores or shuffle partitions 2× cores slowed the",
+            "16-core run 50→69s; AQE off slowed it 50→82s; driver heap 32g",
+            "(vs 8g) slowed it 130→347s (tmpfs spill of serialized blocks",
+            "beats heap-resident deserialized rows for GC).",
             "",
             f"Same-run same-framework ceiling of this VM at the same core counts: "
-            f"**{s.get('cpu_ceiling', 'n/a')}** — a ZERO-shuffle, pure-codegen Spark "
+            f"**{s.get('cpu_ceiling', 'n/a')}** "
+            f"(N-side runs {s.get('cpu_ceiling_runs_n', [])}, 4N-side "
+            f"{s.get('cpu_ceiling_runs_4n', [])}) — a ZERO-shuffle, pure-codegen Spark "
             "aggregation (spark.range → xxhash64 → avg; no python workers, one wave of "
             "equal tasks) measured N vs 4N in fresh JVMs. Anything below 1.0 there is "
             "the box (all-core frequency scaling / memory bandwidth / one shared JVM), "
@@ -414,18 +427,18 @@ def _write_bench_baseline(result: dict) -> None:
             "",
             "Environment caveats (single shared VM, not a cluster): the",
             "zero-shuffle Spark ceiling above shows this box scales even",
-            "perfectly-parallel JVM compute sublinearly, and run-to-run",
-            "variance on identical configs is ±15-20%. Stage-timeline",
-            "decomposition of a local[16] run (event-log parse, see",
-            "ARCHITECTURE.md round-2 findings): the two dominant stages are",
-            "perfectly parallel (taskSum ≈ 16 × wall); the gap to ideal is a",
-            "~40s constant — ~66 small stages (broadcast builds, lexicon",
-            "distincts, vote shuffles) plus ~11s of driver planning dead time",
-            "— which is independent of core count locally but amortizes on a",
-            "real cluster where data per executor, not per box, is constant.",
-            "The efficiency above is therefore a lower bound on what the same",
-            "job does on 4N real executors, where CPUs, memory bandwidth and",
-            "shuffle disks all scale with the executor count.",
+            "perfectly-parallel JVM compute sublinearly, with large run-to-run",
+            "variance on identical configs (see the recorded per-run spreads).",
+            "Job-timeline decomposition (scripts/profile_jobs.py): the heavy",
+            "stages run at 15-16×/16 utilization; the gap to ideal is the",
+            "remaining ~20s serial constant plus the VM ceiling. In the weak",
+            "regime the classifier tail additionally burns ~25% more CPU per",
+            "row at 12× data (cache locality — partition-count A/B showed no",
+            "spill effect); per-executor data is constant in that regime on a",
+            "real cluster, so neither term applies there. The efficiency above",
+            "is therefore a lower bound on what the same job does on 4N real",
+            "executors, where CPUs, memory bandwidth and shuffle disks all",
+            "scale with the executor count.",
         ]
     k = result.get("kg_skew", {})
     if k:
@@ -435,11 +448,17 @@ def _write_bench_baseline(result: dict) -> None:
             "",
             f"One {k.get('skew_turns')}-turn conversation among "
             f"{k.get('n_normal_convs')} normal ones (local[{k.get('cores')}]):",
-            f"unsalted {k.get('seconds_unsalted')}s vs salted "
-            f"{k.get('seconds_salted')}s; outputs identical = "
-            f"{k.get('outputs_identical')}. The salted variant bounds the "
-            "single-reducer tail (phase 1 groups on (conv_id, turn_idx div "
-            "segment)); engaged in the pipeline via "
+            "",
+            "| variant | wall s | max task s (event log) |",
+            "| --- | --- | --- |",
+            f"| unsalted | {k.get('seconds_unsalted')} | {k.get('max_task_seconds_unsalted', 'n/a')} |",
+            f"| salted | {k.get('seconds_salted')} | {k.get('max_task_seconds_salted', 'n/a')} |",
+            "",
+            f"Outputs identical = {k.get('outputs_identical')}. The "
+            "single-reducer tail IS the max task; the salted two-phase form "
+            "(phase 1 groups on (conv_id, turn_idx div segment) and pre-joins "
+            "segments, phase 2 merges segment strings) bounds it by the "
+            "segment size; engaged in the pipeline via "
             "PipelineConfig.skew_turns_threshold / salt_buckets.",
         ]
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
