@@ -99,40 +99,47 @@ class StubLLMAdapter:
         return [fake_llm_response(k) for k in keys]
 
 
-TMVAR_RULES = """Substitution: <Sequence type>|SUB|<wild type>|<mutation position>|<mutant>
-Deletion: <Sequence type>|DEL|<mutation position>|<mutant>
-Insertion: <Sequence type>|INS|<mutation position>|<mutant>
-Insertion + Deletion (indel/delins): <Sequence type>|INDEL|<mutation position>|<mutant>
-Duplication: <Sequence type>|DUP|<mutation position>|<mutant>|<duplication times>
-Frame shift: <Sequence type>|FS|<wild type>|<mutation position>|<mutant>|<frame shift position>
-Sequence types include DNA (c), RNA (r), Genome (g), Protein (p), and Mitochondrial (m) sequences."""
+# Byte-for-byte copy of the reference's prompt literal (seq_variant.py:
+# 244-261, a triple-quoted string inside a nested function — the trailing
+# space after "guidelines.", the 4-space indents, and the dangling
+# "    " before the first example line are all part of the bytes a real
+# LLM sees; output parity depends on them).
+FEWSHOT_PROMPT_HEADER = (
+    "As a biomedical expert, your role involves accurately associating "
+    "sequence variances with their corresponding identifiers, following "
+    "tmVar annotation guidelines. \n"
+    "\n"
+    "    Key Annotation Rules:\n"
+    "\n"
+    "    Substitution: <Sequence type>|SUB|<wild type>|<mutation position>|<mutant>\n"
+    "    Deletion: <Sequence type>|DEL|<mutation position>|<mutant>\n"
+    "    Insertion: <Sequence type>|INS|<mutation position>|<mutant>\n"
+    "    Insertion + Deletion (indel/delins): <Sequence type>|INDEL|<mutation position>|<mutant>\n"
+    "    Duplication: <Sequence type>|DUP|<mutation position>|<mutant>|<duplication times>\n"
+    "    Frame shift: <Sequence type>|FS|<wild type>|<mutation position>|<mutant>|<frame shift position>\n"
+    "    Sequence types include DNA (c), RNA (r), Genome (g), Protein (p), and Mitochondrial (m) sequences.\n"
+    "\n"
+    "    Examples provided for your reference:\n"
+    "\n"
+    "    "
+)
 
 
 def build_fewshot_prompt(text: str, gene: str, shots) -> str:
-    """K5 prompt assembly (reference seq_variant.py:244-272): tmVar rule
-    summary, then one 'Gene: … Mention: … Code: …' line per retrieved
-    example IN RETRIEVAL ORDER, then the completion line for the target.
+    """K5 prompt assembly, VERBATIM to the reference (seq_variant.py:
+    244-268): the tmVar-rules header above, one
+    'Gene: … Mention: … Code: …\\n' per retrieved example IN RETRIEVAL
+    ORDER, then 'Now, complete the last entry:' and the target line.
     ``shots`` is the engine-selected example list (dicts or Rows with
     gene/mention/code) from select_fewshot_examples."""
-    lines = [
-        "As a biomedical expert, you associate sequence variants with their "
-        "tmVar identifiers.",
-        "",
-        "Key Annotation Rules:",
-        "",
-        TMVAR_RULES,
-        "",
-        "Examples provided for your reference:",
-        "",
-    ]
+    parts = [FEWSHOT_PROMPT_HEADER]
     # NOT `shots or []`: the Spark path delivers numpy arrays (Arrow →
     # pandas turns array<struct> cells into ndarray), whose truthiness
     # raises for length >= 2
     for s in (shots if shots is not None else []):
-        lines.append(f"Gene: {s['gene']} Mention: {s['mention']} Code: {s['code']}")
-    lines.append("Now, complete the last entry:")
-    lines.append(f"Gene: {gene} Mention: {text} Code: ")
-    return "\n".join(lines)
+        parts.append(f"Gene: {s['gene']} Mention: {s['mention']} Code: {s['code']}\n")
+    parts.append(f"Now, complete the last entry:\nGene: {gene} Mention: {text} Code: ")
+    return "".join(parts)
 
 
 class FewShotPromptLLM:
@@ -311,7 +318,9 @@ class HFRelationAdapter:
 
     * the published BioNExt extractor class (custom code): its forward
       already returns logits = (relation_logits, novel_logits) — used
-      directly;
+      directly. Loading a hub checkpoint whose auto_map points at custom
+      code requires ``trust_remote_code=True`` (constructor flag, default
+      False — opt in deliberately: remote code executes at load);
     * a plain ``BertModel`` checkpoint carrying the head tensors
       (``weight``, ``MHattention_layer.*``, ``fc1/fc2``,
       ``fc1_novel/fc2_novel``): the numpy head runs on the gathered
@@ -333,12 +342,14 @@ class HFRelationAdapter:
         device: str = "cpu",
         max_length: int = 512,
         relation_mask=None,
+        trust_remote_code: bool = False,
     ):
         _require_hf("HFRelationAdapter")
         self.checkpoint = checkpoint
         self.device = device
         self.max_length = max_length
         self.relation_mask = relation_mask
+        self.trust_remote_code = trust_remote_code
         self._model = None
         self._tok = None
         self._marker_ids: set[int] | None = None
@@ -353,7 +364,7 @@ class HFRelationAdapter:
             self._tok = AutoTokenizer.from_pretrained(self.checkpoint)
             added = self._tok.add_tokens(self.MARKERS, special_tokens=True)
             self._model = AutoModel.from_pretrained(
-                self.checkpoint, trust_remote_code=False
+                self.checkpoint, trust_remote_code=self.trust_remote_code
             ).to(self.device).eval()
             if added:
                 # new marker rows must exist in the embedding matrix or

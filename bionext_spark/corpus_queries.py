@@ -107,8 +107,9 @@ def dedup_minhash_lsh(spark, sf, barrier=None):
     per doc). Default = localCheckpoint — fine standalone to ~10⁹ docs,
     but it pins executor storage and dies with the app. Pipeline contexts
     pass a durable df→df barrier, e.g.
-    ``minhash_catalog_barrier(StageCatalog(...))``, which commits the
-    digests as a resumable stage table instead."""
+    ``minhash_catalog_barrier(StageCatalog(...), inputs, fingerprint)``
+    (see ``dedup_minhash_lsh_durable``), which commits the digests as a
+    resumable stage table instead."""
     if barrier is None:
         barrier = lambda df: df.localCheckpoint()  # noqa: E731
     d = t(spark, sf, "documents")
@@ -199,6 +200,24 @@ def minhash_catalog_barrier(catalog, inputs, fingerprint):
     return barrier
 
 
+def dedup_minhash_lsh_durable(spark, sf, catalog, corpus_fingerprint):
+    """Pipeline-context MinHash dedup: same query as ``dedup_minhash_lsh``
+    but the per-doc digest table is cut through ``StageCatalog`` — a
+    crashed or re-run dedup resumes from the committed ``minhash_digests``
+    stage instead of re-sweeping the corpus shingles (at 100 TB the
+    shingle sweep IS the dominant cost, so the durable cut is the
+    difference between a restartable job and a from-scratch one).
+
+    ``corpus_fingerprint`` must identify the corpus version (e.g. the
+    documents stage's snapshot id) — it keys the digest snapshot, so a
+    changed corpus recomputes instead of resuming stale digests."""
+    return dedup_minhash_lsh(
+        spark,
+        sf,
+        barrier=minhash_catalog_barrier(catalog, [f"documents:{sf}"], corpus_fingerprint),
+    )
+
+
 DEDUP_MINHASH_SQL = """
 WITH pos AS (
   SELECT doc_id, text,
@@ -235,8 +254,12 @@ WHERE n_inter / (n1.n + n2.n - n_inter) >= 0.5
 
 def dedup_ngram_jaccard(spark, sf):
     """Word-3-gram jaccard, quadratic exact variant bounded to a sample
-    (doc_id < 100): pairs with jaccard ≥ 0.2."""
-    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    (doc_id < 200): pairs with jaccard ≥ 0.2.
+
+    The sample is 200 docs (not 100) so the sf0.01 slice contains real
+    near-dup pairs (jaccard ≈ 0.95+) and the oracle match certifies nonzero
+    rows rather than an empty result."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     words = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
     grams = words.select(
         "doc_id",
@@ -266,7 +289,7 @@ def dedup_ngram_jaccard(spark, sf):
 DEDUP_NGRAM_SQL = """
 WITH words AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-  FROM documents WHERE doc_id < 100),
+  FROM documents WHERE doc_id < 200),
 posn AS (
   SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
   FROM words),

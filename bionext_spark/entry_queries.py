@@ -371,9 +371,15 @@ SELECT p_brand, p_partkey, rnk FROM (
 
 
 def u2_semi_anti(spark, sf):
+    # "severe error" (value > 150) rather than any error: every synthetic user
+    # has at least one plain error event, which made the anti-join annihilate
+    # the result and the 0-row oracle match vacuous. The severe subset keeps
+    # roughly half the customers at sf0.01, so the hash certifies both sides.
     c = t(spark, sf, "customer").filter(F.col("c_custkey") < 150)
     o = t(spark, sf, "orders")
-    err = t(spark, sf, "events").filter(F.col("event_type") == "error")
+    err = t(spark, sf, "events").filter(
+        (F.col("event_type") == "error") & (F.col("value") > 150)
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .join(err, c.c_custkey == err.user_id, "left_anti")
@@ -385,7 +391,8 @@ U2_SQL = """
 SELECT c_custkey FROM customer
 WHERE c_custkey < 150
   AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-  AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'error')
+  AND NOT EXISTS (SELECT 1 FROM events
+                  WHERE user_id = c_custkey AND event_type = 'error' AND value > 150)
 """
 
 

@@ -400,6 +400,7 @@ def select_fewshot_examples(
     encoder: EncoderAdapter,
     k: int = 50,
     threshold: float = 0.6,
+    max_driver_rows: int = 2_000_000,
 ) -> DataFrame:
     """K5 few-shot example retrieval as a DATAFLOW op (reference
     seq_variant.py:239-268: torch.topk(embeddings @ target, k=50), keep
@@ -414,8 +415,15 @@ def select_fewshot_examples(
     first-occurrence order on CPU).
 
     Returns (text_key, shots: array<struct<gene, mention, code>>) in
-    (score desc, example index asc) order — the exact prompt order."""
-    ex_rows = examples.select("mention", "code", "gene").collect()
+    (score desc, example index asc) order — the exact prompt order.
+
+    The example table is collected to the driver only while it fits
+    ``max_driver_rows`` (same bound-and-fallback pattern as
+    ``LinkerSideData.build``); an oversized table routes to the fully
+    relational scorer instead of OOMing the driver."""
+    ex_rows = examples.select("mention", "code", "gene").limit(max_driver_rows + 1).collect()
+    if len(ex_rows) > max_driver_rows:
+        return _select_fewshot_relational(texts, examples, encoder, k, threshold)
     if ex_rows:
         M = np.array(encoder.encode_batch([r["mention"] for r in ex_rows]), dtype=np.float64)
     else:
@@ -445,6 +453,74 @@ def select_fewshot_examples(
             yield pdf[["text_key"]].assign(shots=out)
 
     return texts.select("text_key").distinct().mapInPandas(score, out_schema)
+
+
+_SHOTS_TYPE = "array<struct<gene: string, mention: string, code: string>>"
+
+
+def _select_fewshot_relational(
+    texts: DataFrame,
+    examples: DataFrame,
+    encoder: EncoderAdapter,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Distributed fallback for an example table too large to collect:
+    both sides are encoded executor-side (Arrow-batched mapInPandas), the
+    |texts| × |examples| matmul the driver path runs becomes a join + HOF
+    dot product, and top-k per text is a ``row_number`` window — the same
+    score/threshold/cap semantics at unbounded example-table size.
+
+    Ties on exactly equal scores break lexicographically on
+    (mention, code, gene) instead of the driver path's collect-order index
+    — a distributed table has no stable "row order" to index by."""
+
+    def _enc(cols: list[str], text_col: str, out_col: str):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf.assign(**{out_col: []})[cols + [out_col]]
+                    continue
+                embs = encoder.encode_batch(list(pdf[text_col]))
+                yield pdf[cols].assign(
+                    **{out_col: [[float(x) for x in e] for e in embs]}
+                )
+
+        return gen
+
+    ex_enc = examples.select("gene", "mention", "code").mapInPandas(
+        _enc(["gene", "mention", "code"], "mention", "emb"),
+        "gene string, mention string, code string, emb array<double>",
+    )
+    tx = texts.select("text_key").distinct()
+    tx_enc = tx.mapInPandas(
+        _enc(["text_key"], "text_key", "temb"),
+        "text_key string, temb array<double>",
+    )
+    dot = F.expr("aggregate(zip_with(temb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    w = Window.partitionBy("text_key").orderBy(F.desc("score"), "mention", "code", "gene")
+    shots = (
+        tx_enc.crossJoin(ex_enc)
+        .withColumn("score", dot)
+        .filter(F.col("score") > threshold)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("text_key")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("rnk", F.struct("gene", "mention", "code").alias("s"))
+                    )
+                ),
+                lambda e: e["s"],
+            ).alias("shots")
+        )
+    )
+    return tx.join(shots, "text_key", "left").select(
+        "text_key",
+        F.coalesce("shots", F.expr(f"CAST(array() AS {_SHOTS_TYPE})")).alias("shots"),
+    )
 
 
 # ---------------------------------------------------------------------------

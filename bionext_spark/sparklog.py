@@ -20,7 +20,10 @@ def _open_log(path: str):
     if path.endswith(".zstd"):
         import subprocess
 
-        out = subprocess.run(["zstd", "-dc", path], capture_output=True)
+        # check=True: a missing zstd binary or corrupt log must surface as
+        # an error, not silently parse as zero events (which made run_skew
+        # report max_task_seconds = 0.0 — misleading evidence)
+        out = subprocess.run(["zstd", "-dc", path], capture_output=True, check=True)
         return io.StringIO(out.stdout.decode())
     return open(path)
 

@@ -134,3 +134,30 @@ def test_legacy_iceberg_manifest_routes_to_iceberg(spark, tmp_path):
     # the error names the iceberg table ident's namespace — proof the read
     # attempted spark.read.table(<ident>), not the parquet data dir
     assert "bionext" in str(ei.value)
+
+
+def test_minhash_durable_barrier_resume(spark, tmp_path):
+    """dedup_minhash_lsh_durable cuts the per-doc digest table through the
+    StageCatalog: a second run resumes the committed minhash_digests stage
+    (same snapshot, no rewrite) and yields identical pairs; a changed
+    corpus fingerprint recomputes under a new snapshot."""
+    from bionext_spark.corpus_queries import dedup_minhash_lsh_durable
+
+    sf = "/root/testdata/sf0.001"
+    cat = StageCatalog(spark, str(tmp_path / "ck"))
+    r1 = sorted(tuple(r) for r in dedup_minhash_lsh_durable(spark, sf, cat, "v1").collect())
+
+    snap = StageCatalog.snapshot_id("minhash_digests", [f"documents:{sf}"], "v1")
+    assert cat.is_committed("minhash_digests", snap)
+    m1 = cat.read_manifest("minhash_digests", snap)
+    assert m1.row_count > 0  # one digest row per document
+
+    # second run resumes: committed_at unchanged proves no rewrite happened
+    r2 = sorted(tuple(r) for r in dedup_minhash_lsh_durable(spark, sf, cat, "v1").collect())
+    assert r2 == r1
+    assert cat.read_manifest("minhash_digests", snap).committed_at == m1.committed_at
+
+    # a new corpus version must NOT resume the stale digests
+    dedup_minhash_lsh_durable(spark, sf, cat, "v2").collect()
+    snap2 = StageCatalog.snapshot_id("minhash_digests", [f"documents:{sf}"], "v2")
+    assert snap2 != snap and cat.is_committed("minhash_digests", snap2)

@@ -193,3 +193,58 @@ def test_prompt_handles_numpy_shots():
     assert "Gene: BRAF Mention: v600e" in prompt
     assert build_fewshot_prompt("g5x", "EGFR", None).count("Gene:") == 1
     assert build_fewshot_prompt("g5x", "EGFR", np.array([], dtype=object)).count("Gene:") == 1
+
+
+def test_relational_fallback_matches_driver_path(spark, examples_df):
+    """max_driver_rows below the example count routes to the fully
+    relational scorer (no full collect); output must equal the driver
+    path row for row — same scores, threshold, k cap, and order."""
+    enc = _vec_encoder(EX_TABLE)
+    texts = spark.createDataFrame(
+        [("q_near_v600e",), ("q_orthogonal",)], "text_key string"
+    )
+
+    def run(**kw):
+        return {
+            r["text_key"]: [tuple(s) for s in r["shots"]]
+            for r in select_fewshot_examples(
+                spark, texts, examples_df, enc, k=50, threshold=0.6, **kw
+            ).collect()
+        }
+
+    driver = run()
+    fallback = run(max_driver_rows=2)  # 4 examples > 2 → relational path
+    assert fallback == driver
+    assert [s[1] for s in fallback["q_near_v600e"]] == ["v600e", "g5del"]
+
+
+def test_relational_fallback_empty_shots_and_k_cap(spark, examples_df):
+    enc = _vec_encoder(EX_TABLE)
+    texts = spark.createDataFrame([("q_orthogonal",)], "text_key string")
+    rows = select_fewshot_examples(
+        spark, texts, examples_df, enc, k=1, threshold=1.5, max_driver_rows=0
+    ).collect()
+    # nothing clears an impossible threshold, but the text still gets a row
+    assert [(r["text_key"], list(r["shots"])) for r in rows] == [("q_orthogonal", [])]
+
+
+def test_prompt_verbatim_vs_reference_source():
+    """The prompt must be BYTE-identical to the reference's (seq_variant.py
+    :244-268): extract the reference's own triple-quoted literal and
+    replay its concatenation logic, then compare whole strings."""
+    import re as _re
+
+    src = open("/root/reference/src/linker/seq_variant.py").read()
+    header = _re.search(r'prompt = """(.*?)"""', src, _re.S).group(1)
+    shots = [
+        {"gene": "BRAF", "mention": "v600e", "code": "p|SUB|V|600|E"},
+        {"gene": "TP53", "mention": "c76a", "code": "c|SUB|C|76|A"},
+    ]
+    expected = header
+    for s in shots:
+        expected += "Gene: " + s["gene"] + " Mention: " + s["mention"] + " Code: " + s["code"] + "\n"
+    expected += "Now, complete the last entry:\n" + "Gene: EGFR Mention: g5x Code: "
+    assert build_fewshot_prompt("g5x", "EGFR", shots) == expected
+    assert build_fewshot_prompt("g5x", "EGFR", None) == (
+        header + "Now, complete the last entry:\nGene: EGFR Mention: g5x Code: "
+    )
