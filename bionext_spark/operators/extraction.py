@@ -172,9 +172,24 @@ def classify_pair_spans(
     bucket = lambda df: df.withColumn(  # noqa: E731
         "_b", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
+    # Explicit repartition on _b: the hash partitioning satisfies the
+    # cogroup's required distribution, so the kernel stage runs with
+    # n_buckets TASKS (one bucket each) instead of spark.sql.shuffle
+    # .partitions tasks owning ~8 buckets each. per_bucket fires once per
+    # bucket either way (identical python work); the difference is task
+    # GRANULARITY: with one wave of coarse tasks, per-conversation pair
+    # skew put a 2.4× spread on task durations (measured 15.5–38.1s at 16
+    # cores, stage utilization 0.66) and the max task IS the stage wall;
+    # one-bucket tasks let the scheduler greedy-pack the heavy ones first.
+    # A user-specified repartition count is exempt from AQE coalescing, so
+    # the granularity survives planning.
     return (
-        bucket(spans).groupBy("_b")
-        .cogroup(bucket(conversations.select("conv_id", "doc_text")).groupBy("_b"))
+        bucket(spans).repartition(n_buckets, "_b").groupBy("_b")
+        .cogroup(
+            bucket(conversations.select("conv_id", "doc_text"))
+            .repartition(n_buckets, "_b")
+            .groupBy("_b")
+        )
         .applyInPandas(lambda left, right: per_bucket(left, right), _PRED_SCHEMA)
     )
 
