@@ -86,6 +86,11 @@ class PipelineConfig:
     # shuffle-heavy stages when their turn count exceeds the skew threshold.
     salt_buckets: int = 8
     skew_turns_threshold: int = 128
+    # Tagger fusion: conversations with at most this many turns take the
+    # fused single-kernel tagger (one Arrow hop per doc); longer ones take
+    # the window-parallel path so one giant conversation never pins a task.
+    # <= 0 disables fusion entirely (always window-parallel).
+    fused_tagger_max_turns: int = 10_000
     # Storage layout.
     bucket_count: int = 32
     # Arrow batch size for UDF kernels (reference batches 8/128 on GPU;

@@ -154,9 +154,101 @@ def decode_mentions(tagged_windows: DataFrame, conversations: DataFrame) -> Data
     )
 
 
+def tag_conversations_fused(
+    conversations: DataFrame,
+    tagger: TaggerAdapter,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Fused W2+K1+W1+W5+A3 — conversations → mentions in ONE kernel pass.
+
+    Semantics are identical to
+    ``decode_mentions(tag_windows(window_conversations(...)))`` (tested
+    equal row-for-row): tokenize, window, batched tag, center-slice
+    reassembly, BIO decode + overlap merge and turn mapping all happen on
+    one Arrow batch of whole conversations. The three-stage form
+    round-trips every window's token/offset arrays JVM→Python→JVM twice
+    and shuffles them again for the per-conversation groupBy — ~3 GB of
+    Arrow/shuffle traffic at bench scale whose memory-bandwidth cost is
+    exactly what stops a fixed-silicon box scaling N→4N. The fused form
+    moves each doc to Python once and emits only the (small) mention rows.
+
+    Model batching is preserved: ``tag_batch`` is called once per Arrow
+    batch with every window of every conversation in the batch — the same
+    batch regime as the reference's DataLoader (src/tagger/__init__.py:92).
+
+    Granularity is per-conversation, so a pathological 10^6-turn
+    conversation would pin one task; ``run_tagger`` routes conversations
+    above ``cfg.fused_tagger_max_turns`` through the window-parallel path
+    instead (the windowed form spreads one conversation's windows across
+    the whole cluster).
+    """
+    max_len, ctx = cfg.max_seq_len, cfg.context_size
+    labels = list(ENTITY_LABELS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            # phase 1 — tokenize + window every conversation in the batch;
+            # all windows tag in ONE adapter call (model batch = Arrow batch)
+            metas: list[tuple[list[int], list[int], list[tuple[int, int, int, int]]]] = []
+            win_tokens: list[list[str]] = []
+            for text in pdf["doc_text"]:
+                starts, ends, tokens = K.tokenize(text)
+                wins = K.make_windows(len(tokens), max_len, ctx)
+                metas.append((starts, ends, wins))
+                for lo, hi, _nl, _nr in wins:
+                    win_tokens.append(tokens[lo:hi])
+            all_tags = tagger.tag_batch(win_tokens) if win_tokens else []
+            # phase 2 — per conversation: center-slice concat (W1), decode
+            # (W5) + merge (A3), emit mention rows
+            out: dict[str, list] = {k: [] for k in (
+                "conv_id", "mention_id", "label", "start", "end", "text", "turn_idx")}
+            k = 0
+            for (starts, ends, wins), conv_id, doc, toffs in zip(
+                metas, pdf["conv_id"], pdf["doc_text"], pdf["turn_offsets"]
+            ):
+                tag_stream: list[int] = []
+                for lo, hi, nl, nr in wins:
+                    w = all_tags[k]
+                    k += 1
+                    tag_stream.extend(w[nl : (hi - lo) - nr])
+                spans = K.merge_spans(K.decode_bio(tag_stream, starts, ends))
+                if not spans:
+                    continue
+                offs = np.asarray(toffs, dtype=np.int64)
+                for mid, (a, b, lidx) in enumerate(spans):
+                    out["conv_id"].append(conv_id)
+                    out["mention_id"].append(mid)
+                    out["label"].append(labels[lidx])
+                    out["start"].append(a)
+                    out["end"].append(b)
+                    out["text"].append(doc[a:b])
+                    out["turn_idx"].append(int(np.searchsorted(offs, a, side="right")) - 1)
+            yield pd.DataFrame(out, columns=list(out.keys()))
+
+    cols = conversations.select("conv_id", "doc_text", "turn_offsets")
+    return _kernel_repartition(cols).mapInPandas(gen, schemas.MENTIONS)
+
+
 def run_tagger(
     conversations: DataFrame,
     tagger: TaggerAdapter,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    return decode_mentions(tag_windows(window_conversations(conversations, cfg), tagger), conversations)
+    """Stage 1 — fused kernel for normal conversations, window-parallel
+    path for conversations longer than ``cfg.fused_tagger_max_turns``
+    (skew: one giant conversation's windows spread over the cluster
+    instead of pinning a single task). Both branches plan as one union —
+    their stages run concurrently, and for inputs with no giant
+    conversations the windowed branch processes zero rows."""
+    t = cfg.fused_tagger_max_turns
+    if t <= 0:
+        return decode_mentions(
+            tag_windows(window_conversations(conversations, cfg), tagger), conversations
+        )
+    short = conversations.filter(F.col("n_turns") <= t)
+    giant = conversations.filter(F.col("n_turns") > t)
+    return tag_conversations_fused(short, tagger, cfg).unionByName(
+        decode_mentions(tag_windows(window_conversations(giant, cfg), tagger), giant)
+    )
