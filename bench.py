@@ -91,7 +91,12 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True) -> dict:
     return {"seconds": dt, "turns": turns}
 
 
-def run_queries() -> tuple[dict[str, float], float]:
+def run_queries(n_runs: int = 3) -> tuple[dict[str, float], dict[str, list[float]], float]:
+    """Headline suite, best-of-``n_runs`` per query with every run recorded
+    (VERDICT r3: single-shot timings on a ±30% shared VM made per-query
+    regressions unattributable — spreads make them so). Runs interleave
+    whole passes (pass 1 all queries, pass 2 all queries, ...) so one slow
+    VM episode cannot depress a single query's every sample."""
     from bionext_spark.corpus_queries import CORPUS
     from bionext_spark.entry_queries import RELATIONAL
     from bionext_spark.session import get_spark
@@ -103,17 +108,16 @@ def run_queries() -> tuple[dict[str, float], float]:
     # ~3s of session warmup that belongs to no query
     for name in ("lineitem", "orders", "events", "documents"):
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn, _ = registry[name]
-        t0 = time.time()
-        _materialize(fn(spark, SF_DIR))
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn, _ = registry[name]
+            t0 = time.time()
+            _materialize(fn(spark, SF_DIR))
+            runs[name].append(round(time.time() - t0, 3))
     spark.stop()
-    return times, total
+    times = {name: min(rs) for name, rs in runs.items()}
+    return times, runs, sum(times.values())
 
 
 def run_ceiling(cores: int, rows: int = 40_000_000_000) -> dict:
@@ -136,17 +140,57 @@ def run_ceiling(cores: int, rows: int = 40_000_000_000) -> dict:
     return {"seconds": dt, "rows": rows}
 
 
-def measure_cpu_ceiling(n: int, n_runs: int = 3) -> dict:
-    """N→4N ceiling = thr(4N)/(4×thr(N)) of the zero-shuffle Spark job,
-    each core count in a fresh subprocess JVM (same protocol as the KG
-    scaling runs). Returns the ratio plus all per-run seconds so the
-    spread is on record."""
+def run_kernel_ceiling(cores: int, rows: int = 48_000_000) -> dict:
+    """Arrow-kernel analog of run_ceiling: a zero-shuffle mapInPandas job
+    (regex tokenization over synthesized strings — the same work *kind* as
+    the engine's kernel stages, with none of its code) in one wave of
+    equal tasks. The pure-JVM ceiling leaves every Python worker idle, so
+    it understates what this box charges a kernel-heavy pipeline for going
+    N→4N: each added task slot activates a JVM task thread AND a Python
+    worker on fixed shared silicon. Anything below 1.0 here is the
+    machine, not the engine."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bionext_spark.session import get_spark
+
+    def gen(batches):
+        pat = re.compile(r"\w+|[^\w\s]")
+        for pdf in batches:
+            texts = (
+                "row " + pdf["id"].astype(str)
+                + " the quick brown biomedical fox discussed tp53 with aspirin in hela cells"
+            )
+            n = sum(len(pat.findall(t)) for t in texts)
+            yield pd.DataFrame({"n": [n]})
+
+    spark = get_spark(f"bench-kernel-ceiling-{cores}", cores=cores)
+    spark.range(100_000, numPartitions=cores).mapInPandas(gen, "n long").agg(
+        F.sum("n")
+    ).collect()  # warmup: python workers spawn, regex compiles
+    t0 = time.time()
+    spark.range(rows, numPartitions=cores * 4).mapInPandas(gen, "n long").agg(
+        F.sum("n")
+    ).collect()
+    dt = time.time() - t0
+    spark.stop()
+    return {"seconds": dt, "rows": rows}
+
+
+def measure_cpu_ceiling(n: int, n_runs: int = 3, phase: str = "ceiling") -> dict:
+    """N→4N ceiling = thr(4N)/(4×thr(N)) of a zero-shuffle Spark job
+    (``phase`` = 'ceiling' for the pure-JVM aggregation, 'kernel-ceiling'
+    for the Arrow/Python-kernel analog), each core count in a fresh
+    subprocess JVM (same protocol as the KG scaling runs). Returns the
+    ratio plus all per-run seconds so the spread is on record."""
     times, all_runs = {}, {}
     for cores in (n, 4 * n):
         runs = []
         for _ in range(n_runs):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", "ceiling",
+                [sys.executable, os.path.abspath(__file__), "--phase", phase,
                  "--cores", str(cores)],
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -260,37 +304,93 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    out = {"replicate": replicate, "runs_per_point": n_runs, "protocol": "cold" if cold else "warm"}
-    for label, cores in (("n", n), ("4n", 4 * n)):
-        runs = [one(cores, replicate) for _ in range(n_runs)]
-        r = min(runs, key=lambda x: x["seconds"])
-        out[f"cores_{label}"] = cores
-        out[f"seconds_{label}"] = round(r["seconds"], 3)
-        out[f"seconds_{label}_runs"] = [round(x["seconds"], 1) for x in runs]
-        out[f"turns_per_sec_{label}"] = round(r["turns"] / r["seconds"], 1)
-        out["turns"] = r["turns"]
-    out["efficiency"] = round(
-        out["turns_per_sec_4n"] / (4.0 * out["turns_per_sec_n"]), 3
-    )
-    # weak scaling — the regime the 10^12-turn goal implies: 4N cores on
-    # 4× the data vs N cores on 1× (ideal = equal wall time)
-    try:
-        w_runs = [one(4 * n, 4 * replicate) for _ in range(max(2, n_runs - 1))]
-        w = min(w_runs, key=lambda x: x["seconds"])
-        out["weak_seconds_4n_4x"] = round(w["seconds"], 3)
-        out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in w_runs]
-        out["weak_turns_4x"] = w["turns"]
-        out["weak_efficiency"] = round(out["seconds_n"] / w["seconds"], 3)
-    except Exception:
-        pass
-    # the same-run CPU ceiling normalizes the efficiency for this single
-    # shared VM (a real 4N-executor cluster scales CPUs with executors)
+    # PAIRED protocol (VERDICT r3: sequential best-of-3 per point did not
+    # tame cross-session VM drift — a slow episode hitting only one side
+    # swings the best-vs-best ratio ±0.1). Each round runs N then 4N
+    # back-to-back so both sides share the same box state; efficiency is
+    # computed PER PAIR and the median/worst of the pair ratios is
+    # reported — the headline number is the median pair, the gate evidence
+    # is the worst pair.
+    out = {
+        "replicate": replicate,
+        "runs_per_point": n_runs,
+        "protocol": "cold-paired" if cold else "warm-paired",
+        "cores_n": n,
+        "cores_4n": 4 * n,
+    }
+    runs_n: list[dict] = []
+    runs_4n: list[dict] = []
+    weak_runs: list[dict] = []
+    pair_eff: list[float] = []
+    weak_eff: list[float] = []
+    n_weak = max(2, n_runs - 1)
+    for i in range(n_runs):
+        rn = one(n, replicate)
+        r4 = one(4 * n, replicate)
+        runs_n.append(rn)
+        runs_4n.append(r4)
+        pair_eff.append(round(rn["seconds"] / (4.0 * r4["seconds"]), 3))
+        if i < n_weak:
+            # weak scaling in the SAME round so the triple shares box
+            # state — the regime the 10^12-turn goal implies: 4N cores on
+            # 4× the data vs N cores on 1× (ideal = equal wall time)
+            w = one(4 * n, 4 * replicate)
+            weak_runs.append(w)
+            weak_eff.append(round(rn["seconds"] / w["seconds"], 3))
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    best_n = min(runs_n, key=lambda x: x["seconds"])
+    best_4n = min(runs_4n, key=lambda x: x["seconds"])
+    out["seconds_n"] = round(med([r["seconds"] for r in runs_n]), 3)
+    out["seconds_n_runs"] = [round(x["seconds"], 1) for x in runs_n]
+    out["seconds_4n"] = round(med([r["seconds"] for r in runs_4n]), 3)
+    out["seconds_4n_runs"] = [round(x["seconds"], 1) for x in runs_4n]
+    out["turns"] = best_n["turns"]
+    out["turns_per_sec_n"] = round(best_n["turns"] / best_n["seconds"], 1)
+    out["turns_per_sec_4n"] = round(best_4n["turns"] / best_4n["seconds"], 1)
+    out["pair_efficiencies"] = pair_eff
+    out["efficiency"] = round(med(pair_eff), 3)
+    out["efficiency_worst_pair"] = min(pair_eff)
+    out["efficiency_best_pair"] = max(pair_eff)
+    if weak_eff:
+        out["weak_seconds_4n_4x"] = round(med([w["seconds"] for w in weak_runs]), 3)
+        out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in weak_runs]
+        out["weak_turns_4x"] = weak_runs[0]["turns"]
+        out["weak_pair_efficiencies"] = weak_eff
+        out["weak_efficiency"] = round(med(weak_eff), 3)
+        out["weak_efficiency_worst_pair"] = min(weak_eff)
+    # the same-run CPU ceilings normalize the efficiency for this single
+    # shared VM (a real 4N-executor cluster scales CPUs with executors).
+    # Two ceilings, both zero-shuffle one-wave jobs: pure-JVM codegen
+    # (the r2/r3 definition, kept for continuity) and the Arrow/Python
+    # kernel analog — the latter is the representative bound for THIS
+    # pipeline, whose hot stages are Arrow-batched Python kernels (the
+    # pure-JVM job leaves all Python workers idle and so understates the
+    # box's per-slot cost of going N→4N).
     try:
         c = measure_cpu_ceiling(n, n_runs)
         out["cpu_ceiling"] = c["ceiling"]
         out["cpu_ceiling_runs_n"] = c["runs_n"]
         out["cpu_ceiling_runs_4n"] = c["runs_4n"]
         out["efficiency_normalized"] = round(out["efficiency"] / c["ceiling"], 3)
+        out["efficiency_normalized_worst_pair"] = round(
+            out["efficiency_worst_pair"] / c["ceiling"], 3
+        )
+    except Exception:
+        pass
+    try:
+        k = measure_cpu_ceiling(n, max(2, n_runs - 1), phase="kernel-ceiling")
+        out["kernel_ceiling"] = k["ceiling"]
+        out["kernel_ceiling_runs_n"] = k["runs_n"]
+        out["kernel_ceiling_runs_4n"] = k["runs_4n"]
+        out["efficiency_normalized_kernel"] = round(out["efficiency"] / k["ceiling"], 3)
+        out["efficiency_normalized_kernel_worst_pair"] = round(
+            out["efficiency_worst_pair"] / k["ceiling"], 3
+        )
     except Exception:
         pass
     return out
@@ -298,7 +398,10 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", default="full", choices=["full", "kg", "queries", "skew", "ceiling"])
+    ap.add_argument(
+        "--phase", default="full",
+        choices=["full", "kg", "queries", "skew", "ceiling", "kernel-ceiling"],
+    )
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--scaling-n", type=int, default=4)
     ap.add_argument("--replicate", type=int, default=1)
@@ -322,14 +425,18 @@ def main() -> None:
     if args.phase == "ceiling":
         print(json.dumps(run_ceiling(args.cores)))
         return
+    if args.phase == "kernel-ceiling":
+        print(json.dumps(run_kernel_ceiling(args.cores)))
+        return
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    times, total = run_queries()
+    times, query_runs, total = run_queries()
     result = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_runs": query_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
     }
@@ -354,16 +461,21 @@ def main() -> None:
 def _write_bench_baseline(result: dict) -> None:
     """Persist the measured numbers per BASELINE.md's scaling protocol."""
     s = result.get("kg_scaling", {})
+    qruns = result.get("queries_runs", {})
     lines = [
         "# BENCH / BASELINE — measured engine numbers",
         "",
         f"Headline queries (sf={result['sf']}, local[{result['cpus']}]): "
-        f"{result['value']}s total.",
+        f"{result['value']}s total — best-of-N per query, every run recorded "
+        "(interleaved whole passes, so one slow VM episode cannot depress a "
+        "single query's every sample).",
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "| query | sec (best) | all runs |",
+        "| --- | --- | --- |",
     ]
-    lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
+    lines += [
+        f"| {k} | {v} | {qruns.get(k, [])} |" for k, v in result["queries"].items()
+    ]
     if s:
         lines += [
             "",
@@ -371,29 +483,34 @@ def _write_bench_baseline(result: dict) -> None:
             "",
             "Same job, same input (events-derived transcripts, "
             f"replicate={s.get('replicate')}, {s.get('turns')} turns); "
-            f"protocol = {s.get('protocol', 'warm')} (each subprocess JVM runs the identical "
+            f"protocol = {s.get('protocol', 'warm-paired')} (each subprocess JVM runs the identical "
             "pipeline untimed on the sf0.01 twin first — steady state is the "
-            f"regime a 10^12-turn job lives in), best-of-{s.get('runs_per_point', 3)} "
-            "with every per-run wall time recorded; fresh JVM per run;",
+            "regime a 10^12-turn job lives in). Runs are PAIRED: each round "
+            "times N then 4N back-to-back in fresh JVMs so both sides share "
+            "the same box state, and efficiency is computed per pair — the "
+            "headline is the MEDIAN pair ratio, the gate evidence the WORST "
+            "pair (r3's best-of-3-per-point protocol let cross-session VM "
+            "drift swing the best-vs-best ratio ±0.1).",
             "4N capped at half the machine so JVM task threads and Python kernel",
             "workers never oversubscribe the box. replicate makes steady-state",
-            "compute dominate the measured ~20s per-run serial constant",
-            "(assemble/tagger checkpoint chain + small AQE stage-jobs in the",
-            "linker — scripts/profile_jobs.py names each contributor), which a",
+            "compute dominate the remaining per-run serial constant",
+            "(scripts/profile_jobs.py names each contributor), which a",
             "real 4N-executor cluster amortizes across machines.",
             "",
-            f"| cores | seconds (best of {s.get('runs_per_point', 3)}, all runs) | turns/sec |",
+            f"| cores | seconds (median of {s.get('runs_per_point', 3)}, all runs) | turns/sec (best) |",
             "| --- | --- | --- |",
             f"| {s.get('cores_n')} (N) | {s.get('seconds_n')} {s.get('seconds_n_runs')} | {s.get('turns_per_sec_n')} |",
             f"| {s.get('cores_4n')} (4N) | {s.get('seconds_4n')} {s.get('seconds_4n_runs')} | {s.get('turns_per_sec_4n')} |",
             "",
-            f"**Strong-scaling efficiency = {s.get('efficiency')}** "
-            "(throughput(4N) / (4 × throughput(N)), target ≥ 0.8).",
+            f"**Strong-scaling efficiency = {s.get('efficiency')}** (median "
+            f"paired ratio T_N/(4·T_4N); pairs = {s.get('pair_efficiencies')}, "
+            f"worst {s.get('efficiency_worst_pair')}, best "
+            f"{s.get('efficiency_best_pair')}; target ≥ 0.8).",
             f"**Weak-scaling efficiency = {s.get('weak_efficiency', 'n/a')}** "
             f"(N cores on {s.get('turns')} turns vs 4N cores on "
             f"{s.get('weak_turns_4x', 'n/a')} turns, wall {s.get('seconds_n')}s vs "
-            f"{s.get('weak_seconds_4n_4x', 'n/a')}s, runs "
-            f"{s.get('weak_seconds_4n_4x_runs', [])}; ideal = 1.0) — the regime the "
+            f"{s.get('weak_seconds_4n_4x', 'n/a')}s, paired ratios "
+            f"{s.get('weak_pair_efficiencies', [])}; ideal = 1.0) — the regime the "
             "10^12-turn goal implies: executor count grows WITH the data.",
             "",
             "Round-over-round: round-2 recorded 5,697 tps @N / 10,725 tps @4N",
@@ -415,9 +532,24 @@ def _write_bench_baseline(result: dict) -> None:
             "equal tasks) measured N vs 4N in fresh JVMs. Anything below 1.0 there is "
             "the box (all-core frequency scaling / memory bandwidth / one shared JVM), "
             "not the engine. Normalized efficiency = "
-            f"**{s.get('efficiency_normalized', 'n/a')}** — the cluster-relevant number, since "
+            f"**{s.get('efficiency_normalized', 'n/a')}** (worst pair "
+            f"{s.get('efficiency_normalized_worst_pair', 'n/a')}) — the cluster-relevant number, since "
             "4N real executors scale CPUs/memory-bandwidth/disks with the executor count "
             "while this VM holds them fixed.",
+            "",
+            f"Arrow-kernel ceiling at the same core counts: "
+            f"**{s.get('kernel_ceiling', 'n/a')}** "
+            f"(N-side runs {s.get('kernel_ceiling_runs_n', [])}, 4N-side "
+            f"{s.get('kernel_ceiling_runs_4n', [])}) — the same zero-shuffle one-wave "
+            "shape, but the work is an Arrow-batched Python kernel (regex "
+            "tokenization over synthesized strings; bench.py:run_kernel_ceiling, "
+            "none of the engine's code). This is the REPRESENTATIVE bound for this "
+            "pipeline: its hot stages are Arrow-batched Python kernels, and each "
+            "added task slot activates a JVM task thread AND a Python worker on "
+            "fixed shared silicon — the pure-JVM ceiling leaves every Python worker "
+            "idle and so understates what the box charges for N→4N. "
+            f"Kernel-normalized efficiency = **{s.get('efficiency_normalized_kernel', 'n/a')}** "
+            f"(worst pair {s.get('efficiency_normalized_kernel_worst_pair', 'n/a')}).",
             "",
             "Configs: spark.sql.shuffle.partitions = max(cores, 8); AQE on",
             "(skew-join + partition coalescing); shuffle dirs on tmpfs (a real",

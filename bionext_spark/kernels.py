@@ -193,13 +193,20 @@ def stable_hash64(s: str) -> int:
 
 
 def _hash_floats(key: str, n: int) -> list[float]:
-    """n floats in [-1, 1) derived from an md5 counter stream over key."""
+    """n floats in [-1, 1) derived from an md5 counter stream over key.
+
+    The key is hashed ONCE; the counter stream then runs over its 16-byte
+    digest (the earlier form re-hashed the full key — a multi-KB chunk
+    text in the classifier stub — per 4 floats, which made stub hashing
+    ~25% of the classify kernel's python time). Deterministic as before;
+    the pure-python oracle calls this same function, so parity is
+    structural."""
+    seed = hashlib.md5(key.encode("utf-8")).digest()
     out: list[float] = []
     counter = 0
     while len(out) < n:
-        d = hashlib.md5(f"{key}\x00{counter}".encode("utf-8")).digest()
-        for i in range(0, 16, 4):
-            (u,) = struct.unpack(">I", d[i : i + 4])
+        d = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        for u in struct.unpack(">4I", d[:16]):
             out.append(u / 2**31 - 1.0)
             if len(out) == n:
                 break
@@ -335,12 +342,31 @@ def _straddles(starts: list[int], ends: list[int], p: int) -> bool:
     return k >= 0 and starts[k] < p < ends[k]
 
 
+def resolve_span_tokens(
+    starts: list[int], ends: list[int], s: int, e: int
+) -> tuple[int, int] | None:
+    """(start, end) char span → (i, j) token-index range for marker
+    splicing, or None when a boundary falls strictly inside a token (the
+    exactness precondition of marked_tokens_from_doc)."""
+    import bisect
+
+    if _straddles(starts, ends, s) or _straddles(starts, ends, e):
+        return None
+    i = bisect.bisect_left(starts, s)
+    j = bisect.bisect_right(ends, e)
+    return (i, j) if j >= i else None
+
+
+_MISSING = object()
+
+
 def marked_tokens_from_doc(
     starts: list[int],
     ends: list[int],
     tokens: list[str],
     spans1: Sequence[tuple[int, int]],
     spans2: Sequence[tuple[int, int]],
+    span_cache: dict | None = None,
 ) -> list[str] | None:
     """Token stream of ``insert_markers(doc, spans1, spans2)`` WITHOUT
     re-tokenizing the marked string — the classifier kernel tokenizes each
@@ -348,27 +374,33 @@ def marked_tokens_from_doc(
     re-tokenization regex was ~40% of the kernel's python time; docs are
     shared by many pairs).
 
+    ``span_cache`` (dict, one per conversation) memoizes each distinct
+    (start, end) → token-range resolution: entity spans repeat across all
+    the pairs that mention the entity, and the per-span bisect/boundary
+    checks were ~half this function's time when re-done per pair.
+
     Exact-equality preconditions, returns None (caller falls back to the
     string path) when violated: spans disjoint and every span boundary on
     a token boundary or whitespace — a boundary strictly inside a token
     would make the marker SPLIT that token in the string form."""
-    import bisect
-
-    edits = [(s, e, "[s1]", "[e1]") for s, e in spans1]
-    edits += [(s, e, "[s2]", "[e2]") for s, e in spans2]
+    cache = span_cache if span_cache is not None else {}
+    edits: list[tuple[int, int, int, int, str, str]] = []
+    for group, om, cm in ((spans1, "[s1]", "[e1]"), (spans2, "[s2]", "[e2]")):
+        for s, e in group:
+            r = cache.get((s, e), _MISSING)
+            if r is _MISSING:
+                r = resolve_span_tokens(starts, ends, s, e)
+                cache[(s, e)] = r
+            if r is None:
+                return None
+            edits.append((s, e, r[0], r[1], om, cm))
     edits.sort(key=lambda x: (x[0], x[1]))
-    for i in range(len(edits) - 1):
-        if edits[i][1] > edits[i + 1][0]:
+    for a, b in zip(edits, edits[1:]):
+        if a[1] > b[0]:
             return None
     out: list[str] = []
     pos = 0
-    for s, e, om, cm in edits:
-        if _straddles(starts, ends, s) or _straddles(starts, ends, e):
-            return None
-        i = bisect.bisect_left(starts, s)
-        j = bisect.bisect_right(ends, e)
-        if j < i:
-            return None
+    for _s, _e, i, j, om, cm in edits:
         out += tokens[pos:i]
         out.append(om)
         out += tokens[i:j]

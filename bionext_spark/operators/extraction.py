@@ -131,6 +131,7 @@ def classify_pair_spans(
             # differently under the marker-aware regex → string path only
             fast_ok = not any(m in doc for m in ("[s1]", "[s2]", "[e1]", "[e2]"))
             t_starts, t_ends, t_toks = K.tokenize(doc) if fast_ok else ([], [], [])
+            span_cache: dict = {}  # (start,end)→token range, shared by the conv's pairs
             for e1_id, e2_id, t1, t2, spans1, spans2 in zip(
                 g["e1_id"], g["e2_id"], g["e1_type"], g["e2_type"],
                 g["spans1"], g["spans2"],
@@ -138,7 +139,7 @@ def classify_pair_spans(
                 s1 = [(s["start"], s["end"]) for s in (spans1 if spans1 is not None else [])]
                 s2 = [(s["start"], s["end"]) for s in (spans2 if spans2 is not None else [])]
                 toks = (
-                    K.marked_tokens_from_doc(t_starts, t_ends, t_toks, s1, s2)
+                    K.marked_tokens_from_doc(t_starts, t_ends, t_toks, s1, s2, span_cache)
                     if fast_ok
                     else None
                 )
@@ -169,9 +170,6 @@ def classify_pair_spans(
         return pd.DataFrame(out, columns=list(out.keys()))
 
     n_buckets = spans.sparkSession.sparkContext.defaultParallelism * 8
-    bucket = lambda df: df.withColumn(  # noqa: E731
-        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
-    )
     # Explicit repartition on _b: the hash partitioning satisfies the
     # cogroup's required distribution, so the kernel stage runs with
     # n_buckets TASKS (one bucket each) instead of spark.sql.shuffle
@@ -183,13 +181,47 @@ def classify_pair_spans(
     # one-bucket tasks let the scheduler greedy-pack the heavy ones first.
     # A user-specified repartition count is exempt from AQE coalescing, so
     # the granularity survives planning.
-    return (
-        bucket(spans).repartition(n_buckets, "_b").groupBy("_b")
-        .cogroup(
-            bucket(conversations.select("conv_id", "doc_text"))
-            .repartition(n_buckets, "_b")
-            .groupBy("_b")
+    #
+    # Skew salting: a conversation's classify weight is |pairs| × |chunks|
+    # (chunks grow with doc length), so HEAVY conversations — n_turns >
+    # cfg.skew_turns_threshold, the same threshold that salts assembly —
+    # get their PAIRS spread over cfg.salt_buckets sub-buckets by pair
+    # hash, with only their doc row replicated to those buckets (normal
+    # conversations pay nothing). Without this, one heavy conversation
+    # (or several replicate-clones hashing into one bucket) set the stage
+    # tail: measured p50 2.9s vs max 18.2s across the 128 bucket tasks.
+    k = cfg.salt_buckets
+    salted = k > 1 and "n_turns" in conversations.columns
+    if salted:
+        thr = cfg.skew_turns_threshold
+        heavy = conversations.filter(F.col("n_turns") > thr).select(
+            "conv_id", F.lit(True).alias("_heavy")
         )
+        left = spans.join(F.broadcast(heavy), "conv_id", "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                F.pmod(F.xxhash64("e1_id", "e2_id"), F.lit(k)).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("_heavy")
+        right = conversations.select(
+            "conv_id",
+            "doc_text",
+            F.explode(
+                F.when(
+                    F.col("n_turns") > thr, F.sequence(F.lit(0), F.lit(k - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("_salt"),
+        )
+    else:
+        left = spans.withColumn("_salt", F.lit(0))
+        right = conversations.select("conv_id", "doc_text", F.lit(0).alias("_salt"))
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "_b", F.pmod(F.xxhash64("conv_id", "_salt"), F.lit(n_buckets))
+    ).drop("_salt")
+    return (
+        bucket(left).repartition(n_buckets, "_b").groupBy("_b")
+        .cogroup(bucket(right).repartition(n_buckets, "_b").groupBy("_b"))
         .applyInPandas(lambda left, right: per_bucket(left, right), _PRED_SCHEMA)
     )
 

@@ -595,12 +595,16 @@ def _nearest_org_anchor(
     (strict < keeps the earliest organism on distance ties,
     genes.py:107-130); default '9606' when none.
 
-    One LEFT join + one aggregate: the mention's payload columns ride the
-    group as first() aggregates, so there is no groupBy-then-join-back
-    round trip (that shape cost an extra shuffle of every gene mention —
-    pure serial latency on the linker's critical path). Anchor-less
-    conversations survive the left join with a NULL org_tax → min_by
-    yields NULL → the default taxon.
+    Shape: each conversation's (few) qualifying anchors collect into ONE
+    array row — an ObjectHashAggregate over |org links| rows — which then
+    hash-joins onto the gene mentions, and the nearest pick runs as a
+    whole-stage-codegen fold over that per-conversation array. The earlier
+    join-then-groupBy form (first() payload + min_by) planned as a DOUBLE
+    SortAggregate over |gene mentions| × |anchors per conversation|
+    exploded rows — at bench scale the single largest JVM stage (measured
+    379 core-s of the 16-core run; this form removes the sort and the
+    mention-row explosion entirely). Anchor-less conversations survive the
+    left join with a NULL array → NULL fold → the default taxon.
 
     ``known_taxa``: list of taxon ids (LinkerSideData — becomes an InSet
     predicate, zero extra jobs) or a 1-column DataFrame (huge-lexicon
@@ -610,22 +614,33 @@ def _nearest_org_anchor(
         anchors = linked_orgs.join(F.broadcast(kt), "org_tax")
     else:
         anchors = linked_orgs.filter(F.col("org_tax").isin(list(known_taxa)))
+    per_conv = anchors.groupBy("conv_id").agg(
+        F.collect_list(F.struct("org_start", "org_tax")).alias("_orgs")
+    )
+    # lexicographic (distance, org_start) minimum — identical tie rule to
+    # min_by(org_tax, struct(d, org_start)): distance ties keep the
+    # earliest organism (genes.py:107-130 strict <)
+    nearest = F.expr(
+        """
+        aggregate(
+            _orgs,
+            struct(cast(null as string) as tax, cast(0 as bigint) as d,
+                   cast(0 as bigint) as os),
+            (acc, o) -> CASE
+                WHEN acc.tax IS NULL
+                     OR abs(start - o.org_start) < acc.d
+                     OR (abs(start - o.org_start) = acc.d AND o.org_start < acc.os)
+                THEN struct(o.org_tax as tax,
+                            cast(abs(start - o.org_start) as bigint) as d,
+                            cast(o.org_start as bigint) as os)
+                ELSE acc END,
+            acc -> acc.tax)
+        """
+    )
     return (
-        m_gene.join(anchors, "conv_id", "left")
-        .groupBy("conv_id", "mention_id")
-        .agg(
-            F.first("text_key").alias("text_key"),
-            F.first("start").alias("start"),
-            F.coalesce(
-                F.min_by(
-                    "org_tax",
-                    F.struct(
-                        F.abs(F.col("start") - F.col("org_start")).alias("d"), F.col("org_start")
-                    ),
-                ),
-                F.lit(DEFAULT_TAX_ID),
-            ).alias("tax_id"),
-        )
+        m_gene.join(per_conv, "conv_id", "left")
+        .withColumn("tax_id", F.coalesce(nearest, F.lit(DEFAULT_TAX_ID)))
+        .drop("_orgs")
     )
 
 

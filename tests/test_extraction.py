@@ -105,3 +105,33 @@ def test_chunking_right_aligned_last():
     # 10 tokens, chunk 4 → [0:4],[4:8],[6:10] (last right-aligned,
     # reference extractor/data.py:359)
     assert K.chunk_ranges(10, 4) == [(0, 4), (4, 8), (6, 10)]
+
+
+def test_classify_salting_invariance(spark_stages):
+    """Heavy-conversation pair salting (pairs spread over salt_buckets
+    sub-buckets, doc replicated to them) must not change a single chunk
+    prediction: low-threshold (60-turn skew conversation salted), default,
+    and salting-disabled runs agree row-for-row."""
+    import dataclasses
+
+    from bionext_spark.config import DEFAULT_CONFIG
+    from bionext_spark.operators.extraction import classify_pair_spans
+    from bionext_spark.operators.pairs import generate_pairs, pair_spans
+
+    convs, cleaned, _ = spark_stages
+    spans = pair_spans(generate_pairs(cleaned), cleaned)
+
+    def rows(cfg):
+        return sorted(
+            (r["conv_id"], r["e1_id"], r["e2_id"], tuple(r["rel_softmax"]),
+             tuple(r["novel_raw"]), r["pred_class"])
+            for r in classify_pair_spans(spans, convs, None, cfg).collect()
+        )
+
+    salted_low = rows(dataclasses.replace(DEFAULT_CONFIG, skew_turns_threshold=30))
+    default = rows(DEFAULT_CONFIG)
+    unsalted = rows(dataclasses.replace(DEFAULT_CONFIG, salt_buckets=0))
+    assert len(default) > 20
+    assert salted_low == default == unsalted
+    # the low threshold really engaged: the skew conversation exists
+    assert convs.filter("n_turns > 30").count() > 0
