@@ -287,9 +287,10 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     machine so JVM task threads and Python kernel workers never
     oversubscribe the box (executors on a real cluster each get their own
     CPUs); the replicated input makes steady-state compute dominate what
-    remains of the fixed per-plan cost. ALL per-run seconds are recorded
-    (best-of-``n_runs``; ±15-20% shared-VM variance), and the zero-shuffle
-    VM ceiling is re-measured inside the same bench invocation."""
+    remains of the fixed per-plan cost. Runs are PAIRED (see below); ALL
+    per-run seconds are recorded, and the two zero-shuffle VM ceilings
+    (pure-JVM and Arrow-kernel) are re-measured inside the same bench
+    invocation."""
     def one(cores: int, rep: int) -> dict:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--phase", "kg",
@@ -512,6 +513,18 @@ def _write_bench_baseline(result: dict) -> None:
             f"{s.get('weak_seconds_4n_4x', 'n/a')}s, paired ratios "
             f"{s.get('weak_pair_efficiencies', [])}; ideal = 1.0) — the regime the "
             "10^12-turn goal implies: executor count grows WITH the data.",
+            "",
+            "Round-3 ask #2 (weak regression 0.600→0.579, hypothesis: kernel",
+            "batch size / cache locality): A/B'd cfg.kernel_batch_size at the",
+            "weak point (16 cores, replicate 96; scripts/profile_weak.py).",
+            "Measured seconds — 256: 434.5, 512: 409.7, 1024: 425.8 (a first",
+            "1024 run on a cold box read 539.8 — exactly the single-shot trap",
+            "the paired protocol now guards against), 4096: 454.5. Verdict:",
+            "batch size is NOISE at this scale (±5% spread); the hypothesis is",
+            "falsified. The weak point instead moved 605.6s → ~410-430s (−30%)",
+            "round-over-round from the fused tagger and the nearest-anchor",
+            "array-fold — the regression was CPU/bandwidth pressure, not batch",
+            "geometry.",
             "",
             "Round-over-round: round-2 recorded 5,697 tps @N / 10,725 tps @4N",
             "cold at replicate 8 with strong efficiency 0.471; the round-3",

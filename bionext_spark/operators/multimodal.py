@@ -59,12 +59,26 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image(payload: bytes, fmt: str):  # pragma: no cover - stub
-    """Real codec hook — not available in this image."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
-        "swap this for PIL.Image.open / soundfile.read on a real cluster"
-    )
+def _decode_image(payload: bytes, fmt: str) -> list[float]:
+    """Real codec hook — PIL-backed, import-gated like the torch adapters.
+
+    With Pillow installed (a real cluster), decodes the payload, grayscales
+    and resizes to 4×2, and returns the 8 pixels scaled to [-1, 1] — the
+    same shape/range contract as ``decode_stub``, so the surrounding Spark
+    plumbing (schema, batching, partitioning) is identical on both paths.
+    Without Pillow (this image) it raises NotImplementedError and the
+    deterministic stub remains the default."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - extras gate
+    except ImportError as e:  # pragma: no cover - Pillow absent here
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; install "
+            "Pillow (or swap in libvips/soundfile) on a real cluster"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 2))
+    return [p / 127.5 - 1.0 for p in img.getdata()]
 
 
 def decode_stub(payload: bytes, fmt: str) -> list[float]:

@@ -47,3 +47,40 @@ def test_metadata_stats_prune_payload(spark, tmp_path):
     assert "payload" not in rs, rs  # binary column pruned from the scan
     out = {r["format"]: r["n"] for r in df.collect()}
     assert sum(out.values()) == 32
+
+
+def test_real_codec_pil_gated(spark):
+    """PIL-backed decode path (extras gate): skipped where Pillow is
+    absent; on a PIL-equipped machine, real PNG payloads decode through
+    the same mapInPandas plumbing and schema as the stub path."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from bionext_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = []
+    for i in range(4):
+        img = Image.new("RGB", (8, 8), (i * 40, 100, 200 - i * 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append((i, bytearray(buf.getvalue()),
+                     {"format": "png", "width": 8, "height": 8, "n_frames": 1}))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in
+           extract_features(media, use_real_codec=True).collect()}
+    assert len(out) == 4
+    for feats in out.values():
+        assert len(feats) == 8 and all(-1.0 <= f <= 1.0 for f in feats)
+
+
+def test_real_codec_raises_without_pil():
+    """Without Pillow the hook must refuse loudly, never fabricate."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed; the raise path is unreachable")
+    except ImportError:
+        pass
+    from bionext_spark.operators.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\x89PNG...", "png")
