@@ -90,11 +90,16 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
         cfg=cfg,
         side=fixtures.linker_side_data(spark),
     )
-    # cache (not localCheckpoint): the cleaner's row_number window leaves
-    # the rows hash(conv_id)-partitioned, and keeping that knowledge in the
-    # plan lets the whole pair-generation chain (distinct, self-join, cap
-    # window, part join, span groupBys) run shuffle-free on it.
-    cleaned = run_cleaner(links).cache()
+    # localCheckpoint (not cache): cache kept the cleaner's hash(conv_id)
+    # partitioning visible so the pair chain planned shuffle-free — but it
+    # also re-embedded the ENTIRE linker plan at every cached reference
+    # (measured: the pair-chain plan text was 1.4 MB with cache vs 8 KB
+    # checkpointed), and Catalyst + per-stage AQE re-optimization over
+    # that monster was a ~7 s SERIAL driver gap per run — the dominant
+    # non-scaling term in the N→4N bench. The checkpoint trades that for
+    # a few small re-shuffles of the (narrow) link rows, which scale with
+    # cores instead of burning fixed driver time.
+    cleaned = run_cleaner(links).localCheckpoint()
     spans = pair_spans(generate_pairs(cleaned, cfg), cleaned)
     preds = classify_pair_spans(spans, convs, None, cfg)
     return aggregate_triples(preds)

@@ -717,18 +717,35 @@ def _variant_candidates(
     m_var = mentions.filter(F.col("label") == "SequenceVariant").select(
         "conv_id", "mention_id", "start", "text"
     )
-    nearest = (
-        m_var.join(gene_anchors, "conv_id")
-        .groupBy("conv_id", "mention_id")
-        .agg(
-            F.min_by(
-                "gene_id",
-                F.struct(F.abs(F.col("start") - F.col("g_start")).alias("d"), F.col("g_mid")),
-            ).alias("gene_id")
-        )
+    # same shape as _nearest_org_anchor: anchors collect to one array per
+    # conversation (ObjectHashAggregate), then a codegen fold picks the
+    # lexicographic (distance, g_mid) minimum — no SortAggregate, no
+    # |variants| × |gene anchors per conversation| row explosion
+    anchors_arr = gene_anchors.groupBy("conv_id").agg(
+        F.collect_list(F.struct("g_start", "g_mid", "gene_id")).alias("_genes")
     )
-    v = m_var.join(nearest, ["conv_id", "mention_id"], "left").join(
-        F.broadcast(gene_symbols), "gene_id", "left"
+    nearest_gene = F.expr(
+        """
+        aggregate(
+            _genes,
+            struct(cast(null as string) as gid, cast(0 as bigint) as d,
+                   cast(0 as int) as mid),
+            (acc, g) -> CASE
+                WHEN acc.gid IS NULL
+                     OR abs(start - g.g_start) < acc.d
+                     OR (abs(start - g.g_start) = acc.d AND g.g_mid < acc.mid)
+                THEN struct(g.gene_id as gid,
+                            cast(abs(start - g.g_start) as bigint) as d,
+                            g.g_mid as mid)
+                ELSE acc END,
+            acc -> acc.gid)
+        """
+    )
+    v = (
+        m_var.join(anchors_arr, "conv_id", "left")
+        .withColumn("gene_id", nearest_gene)
+        .drop("_genes")
+        .join(F.broadcast(gene_symbols), "gene_id", "left")
     )
 
     hops = [base]
