@@ -30,8 +30,10 @@ from bionext_spark.operators import kernel_repartition
 def generate_pairs(clean_links: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """A7 + J5 → (conv_id, e1_id, e1_type, e2_id, e2_type).
 
-    ONE shuffle (groupBy conv_id): the per-conversation distinct entity set
-    collects into a sorted array, the entity pre-cap is a slice, pair
+    TWO shuffles: the conv_id groupBy collects the per-conversation
+    distinct entity set into a sorted array (entity pre-cap = a slice),
+    then an explicit repartition of the tiny per-conversation rows keeps
+    the pair-generation explode parallel (see inline comment); pair
     generation + the type-compatibility mask + the post-mask prefix cap
     all run as array HOFs inside whole-stage codegen — the round-1 shape
     (distinct → rank window → self-join → broadcast mask → rank window)
@@ -55,6 +57,17 @@ def generate_pairs(clean_links: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG)
         F.expr(
             f"slice(array_sort(collect_set(struct(label, linked_id))), 1, {m})"
         ).alias("ents")
+    )
+    # Explicit repartition between the agg and the explode: the agg output
+    # is TINY (one row per conversation, ≤m entity structs), so AQE's
+    # partition coalescing shrinks the reduce side to ONE task — and the
+    # O(m²) pair-gen HOFs + explode below then run serially in it
+    # (measured: a 39 core-s single-task stage at bench scale, growing
+    # linearly with data — a weak-regime killer). A user-specified
+    # repartition count is exempt from AQE coalescing; the extra exchange
+    # moves only the tiny per-conversation rows.
+    ents = ents.repartition(
+        clean_links.sparkSession.sparkContext.defaultParallelism, "conv_id"
     )
     pair_gen = f"""
     slice(
@@ -123,14 +136,30 @@ def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
         F.collect_list(F.struct("start", "end", "part_pos")).alias("ms")
     )
     pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
+    # Single explode over both sides' parts (struct(side, part) arrays
+    # concatenated) instead of a two-branch union of selects: the union
+    # evaluated the whole pairs subtree twice in the same task and doubled
+    # the map-side work of the join exchange.
     pair_parts = pairs.select(
-        *pair_cols, F.lit(1).alias("side"), F.explode(F.split("e1_id", ",")).alias("part")
-    ).unionByName(
-        pairs.select(
-            *pair_cols, F.lit(2).alias("side"), F.explode(F.split("e2_id", ",")).alias("part")
-        )
-    )
-    j = pair_parts.join(part_ms, ["conv_id", "part"])
+        *pair_cols,
+        F.explode(
+            F.expr(
+                "concat(transform(split(e1_id, ','), p -> struct(1 as side, p as part)),"
+                " transform(split(e2_id, ','), p -> struct(2 as side, p as part)))"
+            )
+        ).alias("sp"),
+    ).select(*pair_cols, F.col("sp.side").alias("side"), F.col("sp.part").alias("part"))
+    # shuffle_hash (not broadcast): AQE sees the pair subtree's tiny
+    # byte-estimate and converts this join to broadcast — but then the
+    # BROADCAST BUILD computes the whole [ents agg → O(m²) pair-gen HOF
+    # explode → pair-part explode] chain in ONE AQE-coalesced task
+    # (partitioning is irrelevant to a broadcast build, so the explicit
+    # repartition above is discarded): a 12+ core-s SERIAL stage growing
+    # linearly with data. A shuffle-hash join keeps the repartitioned
+    # parallel Generate, and part_ms already arrives hash-partitioned
+    # from its own groupBy. At 100 TB pair_parts outgrows any broadcast
+    # threshold, so shuffle-hash is also the honest cluster plan.
+    j = pair_parts.hint("shuffle_hash").join(part_ms, ["conv_id", "part"])
     per_pair = j.groupBy(*pair_cols).agg(
         F.flatten(F.collect_list(F.when(F.col("side") == 1, F.col("ms")))).alias("raw1"),
         F.flatten(F.collect_list(F.when(F.col("side") == 2, F.col("ms")))).alias("raw2"),

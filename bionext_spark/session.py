@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Small-bytes ≠ small-compute: AQE's coalescing floor is byte-based
+        # (default minPartitionSize 1MB), so a shuffle carrying tiny rows
+        # into a CPU-heavy stage (e.g. the per-conversation entity arrays
+        # feeding the O(m²) pair-generation HOFs) collapses to ONE task and
+        # serializes minutes of codegen work. 16k keeps parallelism-first
+        # coalescing at ~defaultParallelism tasks for such stages; genuinely
+        # tiny stages stay sub-second either way.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

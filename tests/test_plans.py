@@ -77,9 +77,11 @@ def test_topk_uses_take_ordered_not_global_window(spark):
 
 
 def test_pair_generation_single_shuffle_and_bounded(spark):
-    """generate_pairs: one Exchange (the conv_id groupBy) and an
-    adversarial entity-rich conversation never materializes pairs past the
-    two-level cap."""
+    """generate_pairs: exactly two Exchanges — the conv_id groupBy plus
+    the explicit REPARTITION_BY_NUM that keeps the O(m²) pair-generation
+    explode parallel (AQE would otherwise coalesce the tiny agg output to
+    one task and serialize it) — and an adversarial entity-rich
+    conversation never materializes pairs past the two-level cap."""
     from pyspark.sql import functions as F
 
     from bionext_spark.config import PipelineConfig
@@ -97,7 +99,11 @@ def test_pair_generation_single_shuffle_and_bounded(spark):
     cfg = PipelineConfig(max_pairs_per_conversation=100, max_entities_per_conversation=64)
     pairs = generate_pairs(links, cfg)
     plan = physical_plan(pairs)
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # the heavy Generate must sit ABOVE the repartition exchange (parallel),
+    # not below it next to the aggregate
+    assert plan.index("Generate") < plan.index("REPARTITION_BY_NUM"), plan
     rows = {(r["e1_id"], r["e2_id"]) for r in pairs.collect()}
     # expected: entity pre-cap = first 64 ids in string sort order, then
     # the first 100 pairs of the lexicographic enumeration
