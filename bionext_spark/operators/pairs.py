@@ -149,17 +149,19 @@ def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
             )
         ).alias("sp"),
     ).select(*pair_cols, F.col("sp.side").alias("side"), F.col("sp.part").alias("part"))
-    # shuffle_hash (not broadcast): AQE sees the pair subtree's tiny
-    # byte-estimate and converts this join to broadcast — but then the
-    # BROADCAST BUILD computes the whole [ents agg → O(m²) pair-gen HOF
-    # explode → pair-part explode] chain in ONE AQE-coalesced task
-    # (partitioning is irrelevant to a broadcast build, so the explicit
-    # repartition above is discarded): a 12+ core-s SERIAL stage growing
-    # linearly with data. A shuffle-hash join keeps the repartitioned
-    # parallel Generate, and part_ms already arrives hash-partitioned
-    # from its own groupBy. At 100 TB pair_parts outgrows any broadcast
-    # threshold, so shuffle-hash is also the honest cluster plan.
-    j = pair_parts.hint("shuffle_hash").join(part_ms, ["conv_id", "part"])
+    # Join strategy stays with AQE. History: when AQE converts this join
+    # to broadcast it prunes the repartition above (a broadcast build has
+    # no partitioning), and the whole [agg → O(m²) pair-gen HOFs →
+    # explodes] chain then runs on the build side's AQEShuffleRead — which
+    # the 1MB byte-based coalescing floor collapsed to ONE task (a 12+
+    # core-s serial stage growing linearly with data). The session-level
+    # minPartitionSize=16k floor (session.py) keeps that read parallel, so
+    # broadcast is fine when the pair side is genuinely small, and AQE
+    # falls back to sort-merge when it isn't. A shuffle_hash hint was
+    # tried instead and REVERTED: it pins pair_parts as a hash-map build
+    # side, which cannot spill and OOMs once pairs outgrow task memory
+    # (reproduced at the 4×-data weak-scaling point).
+    j = pair_parts.join(part_ms, ["conv_id", "part"])
     per_pair = j.groupBy(*pair_cols).agg(
         F.flatten(F.collect_list(F.when(F.col("side") == 1, F.col("ms")))).alias("raw1"),
         F.flatten(F.collect_list(F.when(F.col("side") == 2, F.col("ms")))).alias("raw2"),
