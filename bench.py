@@ -94,6 +94,17 @@ def _kernel_probe(spark, rows: int, partitions: int) -> float:
     return time.time() - t0
 
 
+# Probe-leg note (measured, kept for the record): a JVM leg shaped like
+# `range → hash project → full-data repartition → codegen agg` scales
+# 0.51 from 4→16 slots on this box (worse than the 0.63-0.65 Python-
+# kernel wave), but sized to the PIPELINE's honest shuffle intensity
+# (~2 GB per ~1,100 JVM core-s) a JVM leg is compute-dominated and
+# scales ~0.8+ — blending it in would RAISE the measured ceiling and
+# flatter the normalized ratio only if the shuffle were overweighted.
+# The kernel-only probe stays: it is the shape of the pipeline's hot
+# stages (Arrow-batched Python kernels) and the conservative choice.
+
+
 def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int = 0) -> dict:
     """One KG pipeline run in this process's fresh JVM.
 
@@ -112,14 +123,25 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
     from bionext_spark.flagship import run_kg_pipeline
     from bionext_spark.session import get_spark
 
-    spark = get_spark(f"bench-kg-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    # Heap scales with core count (override with $SPARK_DRIVER_MEM): the
+    # north rule's cluster brings 4N executors with FIXED per-executor
+    # memory, i.e. 4× aggregate heap at 4N — a fixed local heap instead
+    # starves the 4N (and especially the weak 4N × 4×-data) runs into GC
+    # storms the real cluster would never see (GCLocker retry warnings
+    # and a >2×-inflated probe were measured on the weak point at 8g).
+    mem = os.environ.get("SPARK_DRIVER_MEM") or f"{max(8, (cores * 3) // 2)}g"
+    spark = get_spark(
+        f"bench-kg-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.driver.memory": mem},
+    )
     turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count() * replicate
     if warmup:
         _materialize(run_kg_pipeline(spark, _warmup_dir(), 1))
     out: dict = {}
     if probe_rows:
-        # tiny warm wave first so worker spawn / regex compile never lands
-        # in a probe (the pipeline warmup does not exercise the probe fn)
+        # tiny warm wave first so worker spawn / regex compile / codegen
+        # never land in a probe (the pipeline warmup does not exercise
+        # the probe functions)
         _kernel_probe(spark, max(probe_rows // 100, 1), cores)
         out["probe_pre"] = _kernel_probe(spark, probe_rows, cores * 4)
     t0 = time.time()

@@ -121,52 +121,48 @@ def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
     """J6 (relational part) → one row per pair with the ordered span lists
     of its two entities: (conv_id, e1.., e2.., spans1, spans2).
 
-    Scale shape: mention parts aggregate to ONE list per (conv, part)
-    BEFORE touching pairs, so the pair join and both pair-level groupBys
-    move |pair parts| ≈ 2×|pairs| rows carrying small span arrays — not
-    the |pairs| × |mentions-per-entity| exploded rows of the naive
-    pair-part × mention-part join (measured 17.7M intermediate rows vs
-    1.1M on the sf0.1 bench; that join dominated the stage and throttled
-    N→4N scaling). The first-match-wins entity ordering then resolves
-    per pair inside array HOFs (JVM codegen, no extra shuffle)."""
+    Scale shape: mention parts aggregate to one span list per (conv,
+    part), then to ONE part→spans map per conversation, and pairs join
+    that map once on conv_id — each side's raw span list is rebuilt from
+    the map inside whole-stage codegen (transform over the id's comma
+    parts + flatten), and the first-match-wins entity ordering resolves
+    in the same codegen pass (_side_spans). Two earlier shapes were
+    measured and replaced: the naive pair-part × mention-part join
+    exploded |pairs| × |mentions-per-entity| rows (17.7M vs 1.1M at
+    bench scale); its successor — explode pairs to 2×|pairs| (pair,
+    side, part) rows, join the part lists, groupBy back to pairs —
+    still shuffled every exploded pair row twice (join exchange +
+    pair-level groupBy; that groupBy exchange wrote ~700 MB at bench
+    scale and its write stalls were among the largest non-scaling terms
+    in the N→4N profile). The map form shuffles each pair row ONCE (the
+    conv_id join) and each mention part once (the two-level
+    aggregation); per-conversation map size is bounded by the
+    conversation's distinct (part → mentions) fan-out — entities, not
+    pairs — and the join key is conv_id, so AQE skew splitting applies
+    to entity-rich conversations."""
     mention_parts = clean_links.select(
         "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
     )
     part_ms = mention_parts.groupBy("conv_id", "part").agg(
         F.collect_list(F.struct("start", "end", "part_pos")).alias("ms")
     )
-    pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
-    # Single explode over both sides' parts (struct(side, part) arrays
-    # concatenated) instead of a two-branch union of selects: the union
-    # evaluated the whole pairs subtree twice in the same task and doubled
-    # the map-side work of the join exchange.
-    pair_parts = pairs.select(
-        *pair_cols,
-        F.explode(
-            F.expr(
-                "concat(transform(split(e1_id, ','), p -> struct(1 as side, p as part)),"
-                " transform(split(e2_id, ','), p -> struct(2 as side, p as part)))"
-            )
-        ).alias("sp"),
-    ).select(*pair_cols, F.col("sp.side").alias("side"), F.col("sp.part").alias("part"))
-    # Join strategy stays with AQE. History: when AQE converts this join
-    # to broadcast it prunes the repartition above (a broadcast build has
-    # no partitioning), and the whole [agg → O(m²) pair-gen HOFs →
-    # explodes] chain then runs on the build side's AQEShuffleRead — which
-    # the 1MB byte-based coalescing floor collapsed to ONE task (a 12+
-    # core-s serial stage growing linearly with data). The session-level
-    # minPartitionSize=16k floor (session.py) keeps that read parallel, so
-    # broadcast is fine when the pair side is genuinely small, and AQE
-    # falls back to sort-merge when it isn't. A shuffle_hash hint was
-    # tried instead and REVERTED: it pins pair_parts as a hash-map build
-    # side, which cannot spill and OOMs once pairs outgrow task memory
-    # (reproduced at the 4×-data weak-scaling point).
-    j = pair_parts.join(part_ms, ["conv_id", "part"])
-    per_pair = j.groupBy(*pair_cols).agg(
-        F.flatten(F.collect_list(F.when(F.col("side") == 1, F.col("ms")))).alias("raw1"),
-        F.flatten(F.collect_list(F.when(F.col("side") == 2, F.col("ms")))).alias("raw2"),
+    conv_maps = part_ms.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("part", "ms"))).alias("pm")
     )
-    return per_pair.select(
+    pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
+
+    def raw(side_id: str) -> str:
+        # every part of a pair entity id exists in pm (pairs derive from
+        # the same clean_links rows); the null filter is belt-and-braces
+        return (
+            f"flatten(filter(transform(split({side_id}, ','), p -> pm[p]),"
+            " a -> a is not null))"
+        )
+
+    j = pairs.join(conv_maps, "conv_id").select(
+        *pair_cols, F.expr(raw("e1_id")).alias("raw1"), F.expr(raw("e2_id")).alias("raw2")
+    )
+    return j.select(
         *pair_cols,
         _side_spans("raw1", "raw2", "<=").alias("spans1"),
         _side_spans("raw2", "raw1", "<").alias("spans2"),
