@@ -328,14 +328,18 @@ def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 200
 def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False) -> dict:
     """North-rule scaling evidence: the SAME job on the SAME input at N and
     4N cores, in fresh subprocess JVMs (each warmed on the small-sf twin
-    before its timed section — see run_kg). 4N is capped at half the
-    machine so JVM task threads and Python kernel workers never
-    oversubscribe the box (executors on a real cluster each get their own
-    CPUs); the replicated input makes steady-state compute dominate what
-    remains of the fixed per-plan cost. Runs are PAIRED (see below); ALL
-    per-run seconds are recorded, and the two zero-shuffle VM ceilings
-    (pure-JVM and Arrow-kernel) are re-measured inside the same bench
-    invocation."""
+    before its timed section — see run_kg). The 4N point is sized so JVM
+    task threads plus Arrow Python kernel workers together stay within
+    half the machine (executors on a real cluster each get their own
+    CPUs): every task slot activates one JVM thread AND one Python
+    worker, so 4N=8 means 16 active threads on the 32-CPU box. The old
+    4N=16 point activated all 32 and measured box saturation, not the
+    engine (raw 0.492 / normalized 0.612 at 4/16 vs 0.72 / 0.99 at 2/8,
+    same code). The replicated input makes steady-state compute dominate
+    what remains of the fixed per-plan cost. Runs are PAIRED (see below);
+    ALL per-run seconds are recorded, and the two zero-shuffle VM
+    ceilings (pure-JVM and Arrow-kernel) are re-measured inside the same
+    bench invocation."""
     # per-run contemporaneous probe: ~one short kernel wave before and
     # after each timed section, in the run's own JVM (see _kernel_probe).
     # Rows scale with the data factor so the weak runs' probes measure the
@@ -491,14 +495,22 @@ def main() -> None:
         choices=["full", "kg", "queries", "skew", "ceiling", "kernel-ceiling"],
     )
     ap.add_argument("--cores", type=int, default=CPUS)
-    ap.add_argument("--scaling-n", type=int, default=4)
+    # N=2 / 4N=8 is the largest pair that honors the protocol's
+    # no-oversubscription invariant on this 32-CPU box: every task slot
+    # activates a JVM task thread AND an Arrow Python worker, so the old
+    # 4/16 points saturated all 32 CPUs on the 4N side (16+16) and
+    # measured the box, not the engine — raw 0.492 / probe-normalized
+    # 0.612 at 4/16 vs 0.72 / 0.99 at 2/8 on the same code (BENCH/
+    # BASELINE.md records both). At 2/8 the 4N side uses 8+8 = 16
+    # threads = half the machine, which is what "executors get their own
+    # CPUs" means locally.
+    ap.add_argument("--scaling-n", type=int, default=2)
     ap.add_argument("--replicate", type=int, default=1)
-    # 24 makes steady-state compute dominate the ~20s per-run serial
-    # constant measured by scripts/profile_jobs.py (at 8, that constant
-    # alone bounds local N->4N efficiency to ~0.67 even with every stage
-    # perfectly parallel; a real 4N-executor cluster amortizes it across
-    # machines)
-    ap.add_argument("--scaling-replicate", type=int, default=24)
+    # 12 makes steady-state compute dominate the per-run serial constant
+    # measured by scripts/profile_jobs.py (~250s N-side wall vs ~15-20s
+    # constant; a real 4N-executor cluster amortizes it across machines)
+    # while keeping the 3-pairs+2-weak protocol under ~45 min.
+    ap.add_argument("--scaling-replicate", type=int, default=12)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cold", action="store_true", help="skip the warm-up pass in --phase kg")
     ap.add_argument("--runs", type=int, default=3, help="runs per scaling point (spread is recorded)")
@@ -582,11 +594,17 @@ def _write_bench_baseline(result: dict) -> None:
             "headline is the MEDIAN pair ratio, the gate evidence the WORST "
             "pair (r3's best-of-3-per-point protocol let cross-session VM "
             "drift swing the best-vs-best ratio ±0.1).",
-            "4N capped at half the machine so JVM task threads and Python kernel",
-            "workers never oversubscribe the box. replicate makes steady-state",
-            "compute dominate the remaining per-run serial constant",
-            "(scripts/profile_jobs.py names each contributor), which a",
-            "real 4N-executor cluster amortizes across machines.",
+            "Scaling points sized so JVM task threads + Arrow Python kernel",
+            "workers stay within half the machine at 4N (each task slot",
+            "activates one of each, so 4N=8 → 16 active threads on 32 CPUs —",
+            "executors on a real cluster each get their own CPUs). The prior",
+            "4/16 points saturated all 32 CPUs on the 4N side and measured",
+            "box saturation, not the engine: same code measured raw 0.492 /",
+            "probe-normalized 0.612 at 4/16 vs the numbers below at 2/8.",
+            "replicate makes steady-state compute dominate the remaining",
+            "per-run serial constant (scripts/profile_jobs.py names each",
+            "contributor), which a real 4N-executor cluster amortizes across",
+            "machines.",
             "",
             f"| cores | seconds (median of {s.get('runs_per_point', 3)}, all runs) | turns/sec (best) |",
             "| --- | --- | --- |",
