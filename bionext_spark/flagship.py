@@ -18,7 +18,11 @@ from bionext_spark import synth
 from bionext_spark.adapters import StubEncoder, StubLexiconTagger
 from bionext_spark.config import DEFAULT_CONFIG
 from bionext_spark.operators.assemble import assemble_conversations
-from bionext_spark.operators.extraction import aggregate_triples, classify_pair_spans
+from bionext_spark.operators.extraction import (
+    aggregate_triples,
+    classify_pair_spans,
+    estimate_pair_weights,
+)
 from bionext_spark.operators.linking import run_cleaner, run_linker
 from bionext_spark.operators.pairs import generate_pairs, pair_spans
 from bionext_spark.operators.tagging import run_tagger
@@ -101,7 +105,10 @@ def run_kg_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Dat
     # cores instead of burning fixed driver time.
     cleaned = run_cleaner(links).localCheckpoint()
     spans = pair_spans(generate_pairs(cleaned, cfg), cleaned)
-    preds = classify_pair_spans(spans, convs, None, cfg)
+    # weight-aware classify bucketing: the estimate reads only the two
+    # checkpointed stage outputs above (never the pairs subtree)
+    weights = estimate_pair_weights(cleaned, convs, cfg)
+    preds = classify_pair_spans(spans, convs, None, cfg, pair_weights=weights)
     return aggregate_triples(preds)
 
 

@@ -24,7 +24,11 @@ from bionext_spark.adapters import (
 from bionext_spark.config import DEFAULT_CONFIG, PipelineConfig
 from bionext_spark.operators.assemble import assemble_conversations
 from bionext_spark.operators.canonicalize import materialize_graph
-from bionext_spark.operators.extraction import aggregate_triples, classify_pair_spans
+from bionext_spark.operators.extraction import (
+    aggregate_triples,
+    classify_pair_spans,
+    estimate_pair_weights,
+)
 from bionext_spark.operators.linking import run_cleaner, run_linker
 from bionext_spark.operators.pairs import generate_pairs, pair_spans
 from bionext_spark.operators.tagging import run_tagger
@@ -115,7 +119,15 @@ def run(
 
     triples, m = cat.run_stage(
         "triples",
-        lambda: aggregate_triples(classify_pair_spans(pairs, convs, None, cfg)),
+        # weight-aware classify bucketing: the estimate reads only the
+        # durable clean_links/conversations stage tables, never the pairs
+        # subtree (extraction.estimate_pair_weights)
+        lambda: aggregate_triples(
+            classify_pair_spans(
+                pairs, convs, None, cfg,
+                pair_weights=estimate_pair_weights(cleaned, convs, cfg),
+            )
+        ),
         [m.snapshot_id, manifests["conversations"].snapshot_id],
         fp,
     )

@@ -135,3 +135,64 @@ def test_classify_salting_invariance(spark_stages):
     assert salted_low == default == unsalted
     # the low threshold really engaged: the skew conversation exists
     assert convs.filter("n_turns > 30").count() > 0
+
+
+def test_classify_weighted_bucketing_invariance(spark_stages):
+    """Weight-aware bucket assignment (estimate_pair_weights →
+    serpentine spread of the heaviest units) must not change a single
+    chunk prediction vs hash bucketing — with and without salting
+    engaged."""
+    import dataclasses
+
+    from bionext_spark.config import DEFAULT_CONFIG
+    from bionext_spark.operators.extraction import (
+        classify_pair_spans,
+        estimate_pair_weights,
+    )
+    from bionext_spark.operators.pairs import generate_pairs, pair_spans
+
+    convs, cleaned, _ = spark_stages
+    spans = pair_spans(generate_pairs(cleaned), cleaned)
+
+    def rows(cfg, weighted):
+        w = estimate_pair_weights(cleaned, convs, cfg) if weighted else None
+        return sorted(
+            (r["conv_id"], r["e1_id"], r["e2_id"], tuple(r["rel_softmax"]),
+             tuple(r["novel_raw"]), r["pred_class"])
+            for r in classify_pair_spans(spans, convs, None, cfg, pair_weights=w).collect()
+        )
+
+    low = dataclasses.replace(DEFAULT_CONFIG, skew_turns_threshold=30)
+    assert rows(DEFAULT_CONFIG, True) == rows(DEFAULT_CONFIG, False)
+    assert rows(low, True) == rows(low, False)
+
+
+def test_explicit_bucket_assignment_serpentine(spark):
+    """The serpentine mapping spreads the weight-sorted top units so that
+    per-bucket weight sums stay balanced (plain round-robin would stack
+    each wave's heaviest unit into bucket 0), and every bucket id is in
+    range."""
+    from pyspark.sql import functions as F
+
+    from bionext_spark.operators.extraction import _explicit_bucket_assignment
+
+    n = 4
+    # 16 units with strictly decreasing weights 160,150,...,10
+    units = spark.createDataFrame(
+        [(f"c{i}", 0, float(160 - 10 * i)) for i in range(16)],
+        "conv_id string, _salt int, _w double",
+    )
+    m = _explicit_bucket_assignment(units, n)
+    got = {r["conv_id"]: r["_bx"] for r in m.collect()}
+    assert len(got) == 16 and all(0 <= b < n for b in got.values())
+    # wave 0: ranks 0..3 → buckets 0,1,2,3; wave 1 reversed: ranks 4..7 →
+    # buckets 3,2,1,0
+    assert [got[f"c{i}"] for i in range(8)] == [0, 1, 2, 3, 3, 2, 1, 0]
+    # balance: per-bucket weight sums within one max-unit of each other
+    w = {f"c{i}": 160 - 10 * i for i in range(16)}
+    sums = {}
+    for c, b in got.items():
+        sums[b] = sums.get(b, 0) + w[c]
+    assert max(sums.values()) - min(sums.values()) <= 160
+    # tighter: serpentine on this arithmetic sequence is exactly balanced
+    assert max(sums.values()) == min(sums.values())
