@@ -117,29 +117,14 @@ def _side_spans(this: str, other: str, op: str) -> F.Column:
     )
 
 
-def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
-    """J6 (relational part) → one row per pair with the ordered span lists
-    of its two entities: (conv_id, e1.., e2.., spans1, spans2).
-
-    Scale shape: mention parts aggregate to one span list per (conv,
-    part), then to ONE part→spans map per conversation, and pairs join
-    that map once on conv_id — each side's raw span list is rebuilt from
-    the map inside whole-stage codegen (transform over the id's comma
-    parts + flatten), and the first-match-wins entity ordering resolves
-    in the same codegen pass (_side_spans). Two earlier shapes were
-    measured and replaced: the naive pair-part × mention-part join
-    exploded |pairs| × |mentions-per-entity| rows (17.7M vs 1.1M at
-    bench scale); its successor — explode pairs to 2×|pairs| (pair,
-    side, part) rows, join the part lists, groupBy back to pairs —
-    still shuffled every exploded pair row twice (join exchange +
-    pair-level groupBy; that groupBy exchange wrote ~700 MB at bench
-    scale and its write stalls were among the largest non-scaling terms
-    in the N→4N profile). The map form shuffles each pair row ONCE (the
-    conv_id join) and each mention part once (the two-level
-    aggregation); per-conversation map size is bounded by the
-    conversation's distinct (part → mentions) fan-out — entities, not
-    pairs — and the join key is conv_id, so AQE skew splitting applies
-    to entity-rich conversations."""
+def _pair_spans_scan(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
+    """Superseded list-scan form of :func:`pair_spans`, kept as the
+    equality oracle for it (tests/test_pairs.py): one part→mentions map
+    per conversation, each pair rebuilds its two raw span lists from the
+    map and resolves first-match-wins ordering by re-scanning both lists
+    per mention (_side_spans) — O(|raw1|·(|raw1|+|raw2|)) aggregate calls
+    per pair, measured as the dominant JVM cost of the pairs stage (199
+    of 704 core-s at the 4N bench point)."""
     mention_parts = clean_links.select(
         "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
     )
@@ -166,6 +151,84 @@ def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
         *pair_cols,
         _side_spans("raw1", "raw2", "<=").alias("spans1"),
         _side_spans("raw2", "raw1", "<").alias("spans2"),
+    )
+
+
+# span (start, end) packed into one bigint map key: map_zip_with's key
+# union uses a hash index for primitive keys, so per-pair side resolution
+# is O(n1 + n2) instead of a per-element rescan of both lists
+_SPAN_KEY = "shiftleft(cast(start as bigint), 32) + cast(end as bigint)"
+_KEY_TO_SPAN = (
+    "struct(cast(shiftright(k, 32) as int) as start,"
+    " cast((k & 4294967295) as int) as end)"
+)
+
+
+def pair_spans(pairs: DataFrame, clean_links: DataFrame) -> DataFrame:
+    """J6 (relational part) → one row per pair with the ordered span lists
+    of its two entities: (conv_id, e1.., e2.., spans1, spans2).
+
+    Scale shape: the mention→entity "first matching comma-part" position
+    (reference extractor/data.py:110-121) is pre-aggregated ONCE per
+    (conversation, entity, span) — min part_pos over the mention parts the
+    entity shares — then folded into one per-conversation map
+    ``em: entity_id → map<packed span, min part_pos>``. Pairs join that
+    map once on conv_id, and each pair resolves BOTH sides in a single
+    ``map_zip_with(em[e1], em[e2])`` pass: side 1 keeps spans where its
+    position wins ties (``<=``), side 2 where it strictly wins (``<``) —
+    the reference's order=1-wins rule. map_zip_with's key union is
+    hash-indexed for primitive keys, so per-pair cost is O(n1 + n2); the
+    previous list-scan form (_pair_spans_scan, kept as the equality
+    oracle) re-aggregated both raw lists per mention — O(n²) per pair and
+    the single largest JVM term in the N→4N scaling profile (199 of 704
+    core-s at the 4N bench point). Each pair row still shuffles exactly
+    once (the conv_id join); mention parts shuffle through the three-level
+    pre-aggregation of tiny keyed rows; per-conversation map size is
+    bounded by entity × mention fan-out — entities, not pairs — and the
+    conv_id join key gets AQE skew splitting on entity-rich conversations."""
+    ent_parts = (
+        clean_links.select("conv_id", F.col("linked_id").alias("ent_id"))
+        .distinct()
+        .select("conv_id", "ent_id", F.explode(F.split("ent_id", ",")).alias("part"))
+        .distinct()
+    )
+    mention_parts = clean_links.select(
+        "conv_id", "start", "end", F.posexplode(F.split("linked_id", ",")).alias("part_pos", "part")
+    )
+    ent_spans = (
+        mention_parts.join(ent_parts, ["conv_id", "part"])
+        .groupBy("conv_id", "ent_id", "start", "end")
+        .agg(F.min("part_pos").alias("mp"))
+        .groupBy("conv_id", "ent_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.expr(f"struct({_SPAN_KEY} as k, mp)"))
+            ).alias("m")
+        )
+    )
+    conv_maps = ent_spans.groupBy("conv_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("ent_id", "m"))).alias("em")
+    )
+    pair_cols = ["conv_id", "e1_id", "e1_type", "e2_id", "e2_type"]
+    inf = 999_999_999
+    j = pairs.join(conv_maps, "conv_id").select(
+        *pair_cols,
+        # one hash-indexed key-union pass; v1/v2 are null where the key is
+        # absent from that side
+        F.expr("map_zip_with(em[e1_id], em[e2_id], (k, v1, v2) -> struct(v1, v2))").alias("z"),
+    )
+
+    def side(this: str, other: str, op: str) -> F.Column:
+        return F.expr(
+            "array_sort(transform(map_keys(map_filter(z, (k, v) -> "
+            f"v.{this} is not null and v.{this} {op} coalesce(v.{other}, {inf}))), "
+            f"k -> {_KEY_TO_SPAN}))"
+        )
+
+    return j.select(
+        *pair_cols,
+        side("v1", "v2", "<=").alias("spans1"),
+        side("v2", "v1", "<").alias("spans2"),
     )
 
 

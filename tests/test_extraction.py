@@ -95,6 +95,33 @@ def test_fused_classify_equals_marked_path(spark_stages, oracle_out):
     assert got == exp
 
 
+def test_pair_spans_zip_equals_scan_oracle(spark_stages):
+    """The hash-indexed map_zip_with form of pair_spans must equal the
+    superseded per-mention list-scan form row-for-row (same pairs, same
+    ordered span lists on both sides), including composite-id entities
+    and the <= / < tie rule."""
+    from bionext_spark.operators.pairs import _pair_spans_scan, generate_pairs, pair_spans
+
+    convs, cleaned, _ = spark_stages
+    pairs = generate_pairs(cleaned)
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["e1_id"], r["e1_type"], r["e2_id"], r["e2_type"],
+             tuple((s["start"], s["end"]) for s in r["spans1"]),
+             tuple((s["start"], s["end"]) for s in r["spans2"]))
+            for r in df.collect()
+        )
+
+    new = rows(pair_spans(pairs, cleaned))
+    old = rows(_pair_spans_scan(pairs, cleaned))
+    assert len(new) > 20
+    assert new == old
+    # at least one pair resolves a tie (side-1 wins) and one span list is
+    # non-empty on both sides — the rule is actually exercised
+    assert any(s1 and s2 for *_, s1, s2 in new)
+
+
 def test_marker_insertion_kernel():
     text = "aspirin helps diabetes in human trials"
     marked = K.insert_markers(text, [(0, 7)], [(14, 22)])
