@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -260,6 +261,16 @@ def classify_pair_spans(
         left = spans.withColumn("_salt", F.lit(0))
         right = conversations.select("conv_id", "doc_text", F.lit(0).alias("_salt"))
     hash_b = F.pmod(F.xxhash64("conv_id", "_salt"), F.lit(n_buckets))
+    # repartition(n, "_b") HASH-partitions the bucket id — raw ids 0..n-1
+    # collide (measured at n=64: only 41 distinct partitions, one task
+    # carrying 4 buckets → the 9.5s max task vs 2.2s median that set the
+    # classify stage tail). Remap each id to a representative long whose
+    # Murmur3 partition IS that id, so bucket→task is a bijection and the
+    # serpentine weight balance survives the exchange.
+    # cast to long: _murmur3_long models Murmur3 over LongType — an int
+    # literal array would be hashed 4-bytes-wide and land elsewhere
+    rep_arr = F.array(*[F.lit(r) for r in _bucket_reps(n_buckets)]).cast("array<long>")
+    to_rep = lambda c: F.element_at(rep_arr, c.cast("int") + 1)  # noqa: E731
     explicit = None
     if pair_weights is not None:
         if salted:
@@ -282,14 +293,61 @@ def classify_pair_spans(
     if explicit is not None:
         bucket = lambda df: df.join(  # noqa: E731
             F.broadcast(explicit), ["conv_id", "_salt"], "left"
-        ).withColumn("_b", F.coalesce("_bx", hash_b)).drop("_salt", "_bx")
+        ).withColumn("_b", to_rep(F.coalesce("_bx", hash_b))).drop("_salt", "_bx")
     else:
-        bucket = lambda df: df.withColumn("_b", hash_b).drop("_salt")  # noqa: E731
+        bucket = lambda df: df.withColumn(  # noqa: E731
+            "_b", to_rep(hash_b)
+        ).drop("_salt")
     return (
         bucket(left).repartition(n_buckets, "_b").groupBy("_b")
         .cogroup(bucket(right).repartition(n_buckets, "_b").groupBy("_b"))
         .applyInPandas(lambda left, right: per_bucket(left, right), _PRED_SCHEMA)
     )
+
+
+def _murmur3_long(x: int, seed: int = 42) -> int:
+    """Spark-exact Murmur3_x86_32.hashLong (the hash behind
+    HashPartitioning / F.hash for a single LongType column): the low and
+    the high 32-bit word mixed in order, finalized with total length 8.
+    Returned as a signed int32, matching Spark's IntegerType result."""
+    mask = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def mixk1(k: int) -> int:
+        k = (k * c1) & mask
+        k = ((k << 15) | (k >> 17)) & mask
+        return (k * c2) & mask
+
+    def mixh1(h: int, k: int) -> int:
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & mask
+        return (h * 5 + 0xE6546B64) & mask
+
+    h1 = mixh1(seed & mask, mixk1(x & mask))
+    h1 = mixh1(h1, mixk1((x >> 32) & mask))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & mask
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@lru_cache(maxsize=None)
+def _bucket_reps(n_buckets: int) -> tuple[int, ...]:
+    """reps[p] = the smallest nonnegative long whose HashPartitioning
+    target (pmod(murmur3(x), n)) is p — so mapping bucket id p → reps[p]
+    before ``repartition(n, "_b")`` makes bucket→partition a bijection.
+    Pure driver-side arithmetic (no Spark job); O(n·ln n) probes."""
+    reps: dict[int, int] = {}
+    x = 0
+    while len(reps) < n_buckets:
+        p = _murmur3_long(x) % n_buckets
+        if p not in reps:
+            reps[p] = x
+        x += 1
+    return tuple(reps[p] for p in range(n_buckets))
 
 
 def _explicit_bucket_assignment(units: DataFrame, n_buckets: int) -> DataFrame:

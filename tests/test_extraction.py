@@ -223,3 +223,46 @@ def test_explicit_bucket_assignment_serpentine(spark):
     assert max(sums.values()) - min(sums.values()) <= 160
     # tighter: serpentine on this arithmetic sequence is exactly balanced
     assert max(sums.values()) == min(sums.values())
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    """_murmur3_long must equal F.hash on a LongType column (the hash
+    HashPartitioning applies), including negative inputs — the rep
+    mapping's correctness rests on this exact equality."""
+    from pyspark.sql import functions as F
+
+    from bionext_spark.operators.extraction import _murmur3_long
+
+    vals = [0, 1, 2, 63, 64, 255, 10_000_000, 2**40 + 7, -1, -64, -(2**40)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["h"] for r in df.select("x", F.hash("x").alias("h")).collect()}
+    for v in vals:
+        assert _murmur3_long(v) == got[v], v
+
+
+def test_bucket_reps_bijection(spark):
+    """Mapping bucket id → rep makes repartition(n, '_b') place exactly
+    one bucket per partition (no collisions, no empty partitions)."""
+    from pyspark.sql import functions as F
+
+    from bionext_spark.operators.extraction import _bucket_reps, _murmur3_long
+
+    for n in (8, 64, 128):
+        reps = _bucket_reps(n)
+        assert len(reps) == n
+        assert [_murmur3_long(r) % n for r in reps] == list(range(n))
+    # end-to-end: partition ids after the exchange are all distinct
+    n = 16
+    df = spark.createDataFrame([(b,) for b in range(n)], "b long").withColumn(
+        "_b",
+        F.element_at(
+            F.array(*[F.lit(r) for r in _bucket_reps(n)]).cast("array<long>"),
+            F.col("b").cast("int") + 1,
+        ),
+    )
+    parts = (
+        df.repartition(n, "_b")
+        .select("b", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    assert len({r["p"] for r in parts}) == n
