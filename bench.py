@@ -105,7 +105,8 @@ def _kernel_probe(spark, rows: int, partitions: int) -> float:
 # stages (Arrow-batched Python kernels) and the conservative choice.
 
 
-def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int = 0) -> dict:
+def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int = 0,
+           reps: int = 1, max_reps: int = 0, rep_tol: float = 0.04) -> dict:
     """One KG pipeline run in this process's fresh JVM.
 
     ``warmup`` first runs the SAME pipeline untimed on the small-sf twin
@@ -117,9 +118,25 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
     Cold numbers (warmup=False) remain available via --cold and are
     reported alongside in BENCH/BASELINE.md.
 
-    ``probe_rows`` > 0 brackets the timed section with two kernel-probe
+    ``probe_rows`` > 0 brackets each timed section with kernel-probe
     waves (see _kernel_probe) and reports their mean as probe_seconds —
-    the run's own contemporaneous box-speed measurement."""
+    the run's own contemporaneous box-speed measurement.
+
+    ``reps`` > 1 times the identical pipeline section that many times in
+    THIS warm JVM and reports the fastest (every rep recorded). VM noise
+    is one-sided — a contending neighbor only ever ADDS time — so the
+    within-JVM min estimates the box's uncontended steady-state rate; the
+    r3→r4 single-shot sections were the residual variance source (a VM
+    episode inside one 73–226 s section moved that pair's ratio ±0.15
+    while its bracketing probes stayed fast). The rep count is ADAPTIVE:
+    after ``reps`` base reps, while the two fastest disagree by more than
+    ``rep_tol`` (4%) up to ``max_reps`` total run — a convergence
+    criterion applied identically to both sides of every ratio, so it
+    tightens the estimate without biasing the ratio. probe_seconds is
+    likewise the MIN over all probe waves in this JVM (waves bracket
+    every rep; episodes only inflate a wave), the same uncontended-rate
+    estimator applied to the box-speed side of the normalization; every
+    rep and wave is recorded."""
     from bionext_spark.flagship import run_kg_pipeline
     from bionext_spark.session import get_spark
 
@@ -138,22 +155,46 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
     if warmup:
         _materialize(run_kg_pipeline(spark, _warmup_dir(), 1))
     out: dict = {}
+    waves: list[float] = []
     if probe_rows:
         # tiny warm wave first so worker spawn / regex compile / codegen
         # never land in a probe (the pipeline warmup does not exercise
         # the probe functions)
         _kernel_probe(spark, max(probe_rows // 100, 1), cores)
-        out["probe_pre"] = _kernel_probe(spark, probe_rows, cores * 4)
-    t0 = time.time()
-    triples = run_kg_pipeline(spark, SF_DIR, replicate)
-    _materialize(triples)
-    dt = time.time() - t0
-    if probe_rows:
-        out["probe_post"] = _kernel_probe(spark, probe_rows, cores * 4)
-        out["probe_seconds"] = (out["probe_pre"] + out["probe_post"]) / 2.0
-        out["probe_rows"] = probe_rows
+        waves.append(_kernel_probe(spark, probe_rows, cores * 4))
+    rep_secs: list[float] = []
+
+    def one_rep() -> None:
+        t0 = time.time()
+        triples = run_kg_pipeline(spark, SF_DIR, replicate)
+        _materialize(triples)
+        rep_secs.append(time.time() - t0)
+        if probe_rows:
+            waves.append(_kernel_probe(spark, probe_rows, cores * 4))
+
+    for _ in range(max(1, reps)):
+        one_rep()
+    # adaptive convergence: while the two fastest reps disagree by more
+    # than rep_tol, add reps up to max_reps (same rule on both sides of
+    # every ratio — tightens the min estimate, does not bias the ratio)
+    while max_reps > len(rep_secs) >= 2:
+        a, b = sorted(rep_secs)[:2]
+        if (b - a) / a <= rep_tol:
+            break
+        one_rep()
     spark.stop()
-    out.update({"seconds": dt, "turns": turns})
+    best = min(range(len(rep_secs)), key=lambda i: rep_secs[i])
+    out.update({"seconds": rep_secs[best], "turns": turns})
+    if len(rep_secs) > 1:
+        out["seconds_reps"] = [round(x, 1) for x in rep_secs]
+    if probe_rows:
+        out["probe_pre"] = waves[best]
+        out["probe_post"] = waves[best + 1]
+        # min over ALL waves in this JVM: the uncontended-box-rate
+        # estimator, same shape as the pipeline min above
+        out["probe_seconds"] = min(waves)
+        out["probe_rows"] = probe_rows
+        out["probe_waves"] = [round(x, 2) for x in waves]
     return out
 
 
@@ -346,11 +387,12 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     # weak box bound (N cores on R rows vs 4N cores on 4R rows).
     probe_base = 12_000_000
 
-    def one(cores: int, rep: int, probe_rows: int = probe_base) -> dict:
+    def one(cores: int, rep: int, probe_rows: int = probe_base, reps: int = 2) -> dict:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--phase", "kg",
             "--cores", str(cores), "--replicate", str(rep),
-            "--probe-rows", str(probe_rows),
+            "--probe-rows", str(probe_rows), "--reps", str(reps),
+            "--max-reps", "3",
         ]
         if cold:
             cmd.append("--cold")
@@ -404,7 +446,9 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
             # state — the regime the 10^12-turn goal implies: 4N cores on
             # 4× the data vs N cores on 1× (ideal = equal wall time).
             # The weak probe runs 4× the rows at 4N cores, so the probe
-            # ratio is the weak-regime box bound.
+            # ratio is the weak-regime box bound. Both sides of the weak
+            # ratio are min-of-reps — a single-shot weak side against a
+            # min-of-reps N side would bias the ratio down.
             w = one(4 * n, 4 * replicate, probe_rows=4 * probe_base)
             weak_runs.append(w)
             weak_eff.append(round(rn["seconds"] / w["seconds"], 3))
@@ -424,6 +468,10 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     out["seconds_n_runs"] = [round(x["seconds"], 1) for x in runs_n]
     out["seconds_4n"] = round(med([r["seconds"] for r in runs_4n]), 3)
     out["seconds_4n_runs"] = [round(x["seconds"], 1) for x in runs_4n]
+    if any("seconds_reps" in r for r in runs_n):
+        out["reps_per_run"] = max(len(r.get("seconds_reps", [1])) for r in runs_n)
+        out["seconds_n_all_reps"] = [r.get("seconds_reps") for r in runs_n]
+        out["seconds_4n_all_reps"] = [r.get("seconds_reps") for r in runs_4n]
     out["turns"] = best_n["turns"]
     out["turns_per_sec_n"] = round(best_n["turns"] / best_n["seconds"], 1)
     out["turns_per_sec_4n"] = round(best_4n["turns"] / best_4n["seconds"], 1)
@@ -442,6 +490,8 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     if weak_eff:
         out["weak_seconds_4n_4x"] = round(med([w["seconds"] for w in weak_runs]), 3)
         out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in weak_runs]
+        if any("seconds_reps" in w for w in weak_runs):
+            out["weak_seconds_all_reps"] = [w.get("seconds_reps") for w in weak_runs]
         out["weak_turns_4x"] = weak_runs[0]["turns"]
         out["weak_pair_efficiencies"] = weak_eff
         out["weak_efficiency"] = round(med(weak_eff), 3)
@@ -516,11 +566,16 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3, help="runs per scaling point (spread is recorded)")
     ap.add_argument("--probe-rows", type=int, default=0,
                     help="bracket the timed kg section with kernel probes of this many rows")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed pipeline repetitions inside one warm JVM (min reported)")
+    ap.add_argument("--max-reps", type=int, default=0,
+                    help="adaptive cap: add reps while the two fastest disagree >4%%")
     args = ap.parse_args()
 
     if args.phase == "kg":
         print(json.dumps(run_kg(args.cores, args.replicate, warmup=not args.cold,
-                                probe_rows=args.probe_rows)))
+                                probe_rows=args.probe_rows, reps=args.reps,
+                                max_reps=args.max_reps)))
         return
     if args.phase == "skew":
         print(json.dumps(run_skew(args.cores)))
@@ -593,7 +648,19 @@ def _write_bench_baseline(result: dict) -> None:
             "the same box state, and efficiency is computed per pair — the "
             "headline is the MEDIAN pair ratio, the gate evidence the WORST "
             "pair (r3's best-of-3-per-point protocol let cross-session VM "
-            "drift swing the best-vs-best ratio ±0.1).",
+            "drift swing the best-vs-best ratio ±0.1). Each side's seconds "
+            f"is the MIN of {s.get('reps_per_run', 1)}+ timed repetitions of the identical "
+            "pipeline section inside that side's one warm JVM (every rep "
+            "recorded below; a rep is ADDED, up to 3, while the two fastest "
+            "disagree >4% — the same convergence rule on both sides of "
+            "every ratio): VM noise is one-sided — a contending neighbor "
+            "only ever ADDS time — so the within-JVM min estimates the "
+            "uncontended steady-state rate; single-shot sections were the "
+            "residual variance source (an episode inside one 73–226 s "
+            "section moved that pair's ratio ±0.15 while its bracketing "
+            "probes stayed fast). probe_seconds is the min over that JVM's "
+            "probe waves (waves bracket every rep), the same estimator "
+            "applied to the box-speed side of the normalization.",
             "Scaling points sized so JVM task threads + Arrow Python kernel",
             "workers stay within half the machine at 4N (each task slot",
             "activates one of each, so 4N=8 → 16 active threads on 32 CPUs —",
@@ -606,10 +673,10 @@ def _write_bench_baseline(result: dict) -> None:
             "contributor), which a real 4N-executor cluster amortizes across",
             "machines.",
             "",
-            f"| cores | seconds (median of {s.get('runs_per_point', 3)}, all runs) | turns/sec (best) |",
+            f"| cores | seconds (median of {s.get('runs_per_point', 3)} runs, each min-of-reps; per-run mins, then every rep) | turns/sec (best) |",
             "| --- | --- | --- |",
-            f"| {s.get('cores_n')} (N) | {s.get('seconds_n')} {s.get('seconds_n_runs')} | {s.get('turns_per_sec_n')} |",
-            f"| {s.get('cores_4n')} (4N) | {s.get('seconds_4n')} {s.get('seconds_4n_runs')} | {s.get('turns_per_sec_4n')} |",
+            f"| {s.get('cores_n')} (N) | {s.get('seconds_n')} {s.get('seconds_n_runs')} reps={s.get('seconds_n_all_reps', 'n/a')} | {s.get('turns_per_sec_n')} |",
+            f"| {s.get('cores_4n')} (4N) | {s.get('seconds_4n')} {s.get('seconds_4n_runs')} reps={s.get('seconds_4n_all_reps', 'n/a')} | {s.get('turns_per_sec_4n')} |",
             "",
             f"**Strong-scaling efficiency = {s.get('efficiency')}** (median "
             f"paired ratio T_N/(4·T_4N); pairs = {s.get('pair_efficiencies')}, "

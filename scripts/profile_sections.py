@@ -25,7 +25,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_sections(cores: int, replicate: int, sf_dir: str, warmup: bool) -> dict:
+def run_sections(cores: int, replicate: int, sf_dir: str, warmup: bool,
+                 reps: int = 1) -> dict:
     from bionext_spark import synth
     from bionext_spark.adapters import StubEncoder, StubLexiconTagger
     from bionext_spark.config import DEFAULT_CONFIG
@@ -58,50 +59,57 @@ def run_sections(cores: int, replicate: int, sf_dir: str, warmup: bool) -> dict:
         ).mode("overwrite").save()
 
     out: dict = {"cores": cores, "sections": {}}
-    t_all = time.time()
 
-    def timed(name, fn):
-        t0 = time.time()
-        r = fn()
-        out["sections"][name] = round(time.time() - t0, 2)
-        return r
+    # reps > 1: run the identical section chain that many times in this
+    # one warm JVM and keep the LAST pass — the bench's min-of-reps
+    # protocol showed rep 1 carries 20-25% of one-time JIT/heap-growth
+    # cost that rep 2+ (the steady state the gate measures) does not.
+    for _ in range(max(1, reps)):
+        out["sections"] = {}
+        t_all = time.time()
 
-    seg = cfg.skew_turns_threshold if cfg.salt_buckets > 0 else 0
-    convs = timed(
-        "assemble",
-        lambda: assemble_conversations(
-            derive_transcripts(spark, sf_dir, replicate), segment_size=seg
-        ).localCheckpoint(),
-    )
-    mentions = timed(
-        "tagger",
-        lambda: run_tagger(
-            convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg
-        ).localCheckpoint(),
-    )
-    cleaned = timed(
-        "linker+cleaner",
-        lambda: run_cleaner(
-            run_linker(
-                spark, mentions, encoder=StubEncoder(cfg.embedding_dim), cfg=cfg,
-                side=fixtures.linker_side_data(spark),
-            )
-        ).localCheckpoint(),
-    )
-    spans = timed(
-        "pairs+spans",
-        lambda: pair_spans(generate_pairs(cleaned, cfg), cleaned).localCheckpoint(),
-    )
+        def timed(name, fn):
+            t0 = time.time()
+            r = fn()
+            out["sections"][name] = round(time.time() - t0, 2)
+            return r
 
-    def _classify():
-        w = estimate_pair_weights(cleaned, convs, cfg)
-        df = aggregate_triples(
-            classify_pair_spans(spans, convs, None, cfg, pair_weights=w)
+        seg = cfg.skew_turns_threshold if cfg.salt_buckets > 0 else 0
+        convs = timed(
+            "assemble",
+            lambda: assemble_conversations(
+                derive_transcripts(spark, sf_dir, replicate), segment_size=seg
+            ).localCheckpoint(),
         )
-        df.write.format("noop").mode("overwrite").save()
+        mentions = timed(
+            "tagger",
+            lambda: run_tagger(
+                convs, StubLexiconTagger(synth.tag_lexicon_entries()), cfg
+            ).localCheckpoint(),
+        )
+        cleaned = timed(
+            "linker+cleaner",
+            lambda: run_cleaner(
+                run_linker(
+                    spark, mentions, encoder=StubEncoder(cfg.embedding_dim), cfg=cfg,
+                    side=fixtures.linker_side_data(spark),
+                )
+            ).localCheckpoint(),
+        )
+        spans = timed(
+            "pairs+spans",
+            lambda: pair_spans(generate_pairs(cleaned, cfg), cleaned).localCheckpoint(),
+        )
 
-    timed("classify+agg", _classify)
-    out["total"] = round(time.time() - t_all, 2)
+        def _classify():
+            w = estimate_pair_weights(cleaned, convs, cfg)
+            df = aggregate_triples(
+                classify_pair_spans(spans, convs, None, cfg, pair_weights=w)
+            )
+            df.write.format("noop").mode("overwrite").save()
+
+        timed("classify+agg", _classify)
+        out["total"] = round(time.time() - t_all, 2)
     spark.stop()
     return out
 
@@ -113,16 +121,19 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=0, help="child mode: run one point")
     ap.add_argument("--cold", action="store_true")
+    ap.add_argument("--reps", type=int, default=1, help="passes in one JVM; last reported")
     args = ap.parse_args()
 
     if args.cores:
-        print(json.dumps(run_sections(args.cores, args.replicate, args.sf_dir, not args.cold)))
+        print(json.dumps(run_sections(args.cores, args.replicate, args.sf_dir,
+                                      not args.cold, args.reps)))
         return
 
     def one(cores: int) -> dict:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores", str(cores),
-             "--replicate", str(args.replicate), "--sf-dir", args.sf_dir],
+             "--replicate", str(args.replicate), "--sf-dir", args.sf_dir,
+             "--reps", str(args.reps)],
             capture_output=True, text=True,
         )
         line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
