@@ -5,13 +5,21 @@ Default mode: times the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full KG
 pipeline (turns/sec) at two parallelism levels (local[N] and local[4N],
 via subprocesses so each gets a fresh JVM) for the north rule's scaling-
-efficiency evidence. Prints ONE JSON line:
+efficiency evidence. Prints progressively more complete JSON lines — one
+after the headline queries, one after each completed scaling unit, and a
+final complete one — so that whether the consumer parses the first or the
+last JSON line, and even if the process is killed mid-protocol (round 4's
+full protocol overran the driver's window and left rc=124 / no JSON at
+all), a parseable result exists. The final line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
-   "kg_scaling": {"cores_n": 8, "turns_per_sec_n": ...,
-                  "cores_4n": 32, "turns_per_sec_4n": ...,
-                  "efficiency": ...}}
+   "kg_skew": {...}, "kg_scaling": {"efficiency": ..., ...}}
+
+The full phase runs under a wall-clock budget (--budget, default 2250 s ≈
+38 min; env $SPARK_GRAFT_BENCH_BUDGET) that drops scaling units — CPU
+ceiling first, then weak runs, then extra pairs — when they would not
+fit; `--thorough` restores the round-4 full protocol with no budget.
 
 Subprocess mode (internal): `bench.py --phase kg --cores N` runs only the
 KG pipeline and prints {"seconds": ..., "turns": ...}.
@@ -114,29 +122,56 @@ def _task_work(log_dir: str, windows: list[tuple[float, float]], cores: int) -> 
     logical work costs more core-seconds per task as active threads grow
     (frequency/memory-bandwidth are fixed while slots scale), which a real
     4N-executor cluster — whose per-executor silicon is constant — never
-    pays. raw_eff × (work_4N / work_N) algebraically equals the
-    utilization ratio u_4N/u_N: the efficiency the same plan achieves on
-    hardware where per-task cost is flat across cluster sizes."""
-    from bionext_spark.sparklog import iter_events
+    pays.
 
-    spans: list[tuple[float, float]] = []
-    for ev in iter_events(log_dir):
-        if ev.get("Event") == "SparkListenerTaskEnd":
-            ti = ev.get("Task Info") or {}
-            s, f = ti.get("Launch Time"), ti.get("Finish Time")
-            if s and f and f > s:
-                spans.append((s / 1e3, f / 1e3))
-    task_sec, util = [], []
+    Accounting rules (each closes a round-4 ADVICE item):
+    - only successful, non-speculative task attempts count — a side with
+      retries or speculative duplicates would otherwise get inflated
+      core-seconds, inflating that pair's normalized efficiency;
+    - a task straddling a window boundary contributes its OVERLAP seconds
+      (clipped), not all-or-nothing with fudge margins — probe-wave tasks
+      launched after a rep ends get zero overlap and are excluded exactly;
+    - alongside gross duration, a NET duration subtracts the task's own
+      'JVM GC Time' and shuffle-write time (pro-rata for clipped tasks):
+      GC pauses and write stalls at higher parallelism are partly the
+      ENGINE's doing (heap pressure, shuffle volume), so leaving them in
+      the inflation would launder engine-caused slowdown into the box
+      charge. The net-based inflation is the conservative one the
+      work-normalized headline uses; the gross value stays on record
+      (raw_eff × gross inflation ≡ the utilization ratio u_4N/u_N)."""
+    from bionext_spark.sparklog import iter_task_end
+
+    spans: list[tuple[float, float, float]] = []  # (start, finish, overhead)
+    for ev in iter_task_end(log_dir):
+        reason = (ev.get("Task End Reason") or {}).get("Reason")
+        ti = ev.get("Task Info") or {}
+        if reason != "Success" or ti.get("Speculative"):
+            continue
+        s, f = ti.get("Launch Time"), ti.get("Finish Time")
+        if not (s and f and f > s):
+            continue
+        tm = ev.get("Task Metrics") or {}
+        gc_sec = (tm.get("JVM GC Time") or 0) / 1e3
+        sw_sec = ((tm.get("Shuffle Write Metrics") or {}).get("Shuffle Write Time") or 0) / 1e9
+        spans.append((s / 1e3, f / 1e3, gc_sec + sw_sec))
+    task_sec, task_sec_net, util = [], [], []
     for (t0, t1) in windows:
-        inside = [(s, f) for s, f in spans if s >= t0 - 0.5 and f <= t1 + 1.0]
-        w = sum(f - s for s, f in inside)
+        w = w_net = 0.0
+        for s, f, ovh in spans:
+            ov = min(f, t1) - max(s, t0)
+            if ov <= 0:
+                continue
+            w += ov
+            w_net += ov - ovh * (ov / (f - s))
         task_sec.append(round(w, 1))
+        task_sec_net.append(round(w_net, 1))
         util.append(round(w / (cores * max(t1 - t0, 1e-9)), 4))
-    return {"task_sec": task_sec, "util": util}
+    return {"task_sec": task_sec, "task_sec_net": task_sec_net, "util": util}
 
 
 def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int = 0,
-           reps: int = 1, max_reps: int = 0, rep_tol: float = 0.04) -> dict:
+           reps: int = 1, max_reps: int = 0, rep_tol: float = 0.04,
+           deadline_ts: float = 0.0) -> dict:
     """One KG pipeline run in this process's fresh JVM.
 
     ``warmup`` first runs the SAME pipeline untimed on the small-sf twin
@@ -191,64 +226,93 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
             "spark.eventLog.dir": f"file://{log_dir}",
         },
     )
-    turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count() * replicate
-    if warmup:
-        _materialize(run_kg_pipeline(spark, _warmup_dir(), 1))
     out: dict = {}
     waves: list[float] = []
-    if probe_rows:
-        # tiny warm wave first so worker spawn / regex compile / codegen
-        # never land in a probe (the pipeline warmup does not exercise
-        # the probe functions)
-        _kernel_probe(spark, max(probe_rows // 100, 1), cores)
-        waves.append(_kernel_probe(spark, probe_rows, cores * 4))
     rep_secs: list[float] = []
     rep_windows: list[tuple[float, float]] = []
-
-    def one_rep() -> None:
-        t0 = time.time()
-        triples = run_kg_pipeline(spark, SF_DIR, replicate)
-        _materialize(triples)
-        t1 = time.time()
-        rep_secs.append(t1 - t0)
-        rep_windows.append((t0, t1))
+    # try/finally: an exception mid-rep must not leak the SparkSession or
+    # the event-log tempdir (ADVICE r4) — and the reps already timed still
+    # get reported by the caller's stdout-line parse if we re-raise after
+    # cleanup (we don't: a failed run IS a failed run; cleanup only).
+    try:
+        turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count() * replicate
+        if warmup:
+            _materialize(run_kg_pipeline(spark, _warmup_dir(), 1))
         if probe_rows:
+            # tiny warm wave first so worker spawn / regex compile / codegen
+            # never land in a probe (the pipeline warmup does not exercise
+            # the probe functions)
+            _kernel_probe(spark, max(probe_rows // 100, 1), cores)
             waves.append(_kernel_probe(spark, probe_rows, cores * 4))
 
-    for _ in range(max(1, reps)):
-        one_rep()
-    # adaptive convergence: while the two fastest reps disagree by more
-    # than rep_tol, add reps up to max_reps (same rule on both sides of
-    # every ratio — tightens the min estimate, does not bias the ratio)
-    while max_reps > len(rep_secs) >= 2:
-        a, b = sorted(rep_secs)[:2]
-        if (b - a) / a <= rep_tol:
-            break
-        one_rep()
-    spark.stop()
-    best = min(range(len(rep_secs)), key=lambda i: rep_secs[i])
-    out.update({"seconds": rep_secs[best], "turns": turns})
-    if len(rep_secs) > 1:
-        out["seconds_reps"] = [round(x, 1) for x in rep_secs]
-    try:
-        work = _task_work(log_dir, rep_windows, cores)
-        out["task_core_seconds"] = work["task_sec"][best]
-        out["task_core_seconds_reps"] = work["task_sec"]
-        out["utilization"] = work["util"][best]
-        out["utilization_reps"] = work["util"]
-    except Exception:  # accounting is best-effort; timing stands alone
-        pass
-    import shutil
+        def one_rep() -> None:
+            t0 = time.time()
+            triples = run_kg_pipeline(spark, SF_DIR, replicate)
+            _materialize(triples)
+            t1 = time.time()
+            rep_secs.append(t1 - t0)
+            rep_windows.append((t0, t1))
+            if probe_rows:
+                waves.append(_kernel_probe(spark, probe_rows, cores * 4))
 
-    shutil.rmtree(log_dir, ignore_errors=True)
-    if probe_rows:
-        out["probe_pre"] = waves[best]
-        out["probe_post"] = waves[best + 1]
-        # min over ALL waves in this JVM: the uncontended-box-rate
-        # estimator, same shape as the pipeline min above
-        out["probe_seconds"] = min(waves)
-        out["probe_rows"] = probe_rows
-        out["probe_waves"] = [round(x, 2) for x in waves]
+        def past_deadline() -> bool:
+            # a rep that would land past the caller's wall-clock deadline is
+            # skipped — the round-4 full protocol overran the driver's bench
+            # window and recorded NOTHING; a shorter min-of-reps estimate
+            # beats a timeout on both sides of the ratio equally.
+            if not deadline_ts or not rep_secs:
+                return False
+            return time.time() + min(rep_secs) > deadline_ts
+
+        one_rep()
+        for _ in range(max(1, reps) - 1):
+            if past_deadline():
+                break
+            one_rep()
+        # adaptive convergence: while the two fastest reps disagree by more
+        # than rep_tol, add reps up to max_reps (same rule on both sides of
+        # every ratio — tightens the min estimate, does not bias the ratio).
+        # --reps 1 --max-reps K seeds the required second rep instead of
+        # silently doing single-shot timing (ADVICE r4: the old guard
+        # `max_reps > len >= 2` never fired at reps=1).
+        if max_reps >= 2 and len(rep_secs) == 1 and not past_deadline():
+            one_rep()
+        while max_reps > len(rep_secs) >= 2:
+            a, b = sorted(rep_secs)[:2]
+            if (b - a) / a <= rep_tol or past_deadline():
+                break
+            one_rep()
+        best = min(range(len(rep_secs)), key=lambda i: rep_secs[i])
+        out.update({"seconds": rep_secs[best], "turns": turns})
+        if len(rep_secs) > 1:
+            out["seconds_reps"] = [round(x, 1) for x in rep_secs]
+        try:
+            work = _task_work(log_dir, rep_windows, cores)
+            out["task_core_seconds"] = work["task_sec"][best]
+            out["task_core_seconds_reps"] = work["task_sec"]
+            out["task_core_seconds_net"] = work["task_sec_net"][best]
+            out["task_core_seconds_net_reps"] = work["task_sec_net"]
+            out["utilization"] = work["util"][best]
+            out["utilization_reps"] = work["util"]
+        except Exception as e:  # timing stands alone, but never silently:
+            # a parsing regression here would shrink the work-normalized
+            # gate evidence without a trace (ADVICE r4)
+            print(f"WARN bench: task-work accounting failed: {e!r}", file=sys.stderr)
+        if probe_rows:
+            out["probe_pre"] = waves[best]
+            out["probe_post"] = waves[best + 1]
+            # min over ALL waves in this JVM: the uncontended-box-rate
+            # estimator, same shape as the pipeline min above
+            out["probe_seconds"] = min(waves)
+            out["probe_rows"] = probe_rows
+            out["probe_waves"] = [round(x, 2) for x in waves]
+    finally:
+        import shutil
+
+        try:
+            spark.stop()
+        finally:
+            shutil.rmtree(log_dir, ignore_errors=True)
     return out
 
 
@@ -420,7 +484,25 @@ def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 200
     return out
 
 
-def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False) -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
+def scaling_evidence(
+    n: int,
+    replicate: int,
+    n_runs: int = 2,
+    cold: bool = False,
+    weak_n: int = 1,
+    probe_rows: int = 8_000_000,
+    reps: int = 2,
+    max_reps: int = 2,
+    ceiling_runs: int = 2,
+    budget_left=None,
+    emit=None,
+) -> dict:
     """North-rule scaling evidence: the SAME job on the SAME input at N and
     4N cores, in fresh subprocess JVMs (each warmed on the small-sf twin
     before its timed section — see run_kg). The 4N point is sized so JVM
@@ -432,30 +514,49 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     engine (raw 0.492 / normalized 0.612 at 4/16 vs 0.72 / 0.99 at 2/8,
     same code). The replicated input makes steady-state compute dominate
     what remains of the fixed per-plan cost. Runs are PAIRED (see below);
-    ALL per-run seconds are recorded, and the two zero-shuffle VM
-    ceilings (pure-JVM and Arrow-kernel) are re-measured inside the same
-    bench invocation."""
-    # per-run contemporaneous probe: ~one short kernel wave before and
-    # after each timed section, in the run's own JVM (see _kernel_probe).
-    # Rows scale with the data factor so the weak runs' probes measure the
-    # weak box bound (N cores on R rows vs 4N cores on 4R rows).
-    probe_base = 12_000_000
+    ALL per-run seconds are recorded.
 
-    def one(cores: int, rep: int, probe_rows: int = probe_base, reps: int = 2) -> dict:
+    BUDGET (the round-4 lesson): the full round-4 protocol overran the
+    driver's bench window and the driver recorded NOTHING (BENCH_r04
+    rc=124, parsed null) — worse evidence than any degraded run. So this
+    function (a) emits a summary via ``emit`` after EVERY completed unit
+    (pair / weak run / ceiling), letting the caller print progressively
+    more complete JSON lines, and (b) consults ``budget_left()`` before
+    starting each unit, using the measured wall of the previous same-shape
+    unit as the cost estimate; units that don't fit are skipped and named
+    in ``degraded``. Degradation order (dropped first): CPU ceiling, weak
+    runs, extra pairs — the 2-pair strong-scaling core is protected.
+    Subprocesses also get an absolute ``--deadline-ts`` so a slow box
+    can't stretch a unit past the window via extra reps."""
+
+    def one(cores: int, rep: int, p_rows: int, deadline: float) -> dict:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--phase", "kg",
             "--cores", str(cores), "--replicate", str(rep),
-            "--probe-rows", str(probe_rows), "--reps", str(reps),
-            "--max-reps", "3",
+            "--probe-rows", str(p_rows), "--reps", str(reps),
+            "--max-reps", str(max_reps),
         ]
         if cold:
             cmd.append("--cold")
+        if deadline:
+            cmd += ["--deadline-ts", str(deadline)]
         proc = subprocess.run(
             cmd, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"kg subprocess (cores={cores}) produced no JSON; "
+                f"stderr tail: {proc.stderr[-500:]}"
+            )
+        return json.loads(lines[-1])
+
+    def deadline() -> float:
+        return time.time() + budget_left() - 20 if budget_left else 0.0
+
+    def fits(est: float) -> bool:
+        return budget_left is None or budget_left() > est * 1.15 + 30
 
     # PAIRED protocol (VERDICT r3: sequential best-of-3 per point did not
     # tame cross-session VM drift — a slow episode hitting only one side
@@ -464,166 +565,218 @@ def scaling_evidence(n: int, replicate: int, n_runs: int = 3, cold: bool = False
     # computed PER PAIR and the median/worst of the pair ratios is
     # reported — the headline number is the median pair, the gate evidence
     # is the worst pair.
-    out = {
+    out: dict = {
         "replicate": replicate,
         "runs_per_point": n_runs,
         "protocol": "cold-paired" if cold else "warm-paired",
         "cores_n": n,
         "cores_4n": 4 * n,
+        "degraded": [],
     }
     runs_n: list[dict] = []
     runs_4n: list[dict] = []
     weak_runs: list[dict] = []
-    pair_eff: list[float] = []
-    pair_ceil: list[float] = []
-    pair_eff_norm: list[float] = []
-    pair_inflation: list[float] = []
-    pair_eff_work: list[float] = []
-    weak_eff: list[float] = []
-    weak_ceil: list[float] = []
-    weak_eff_norm: list[float] = []
-    weak_inflation: list[float] = []
-    weak_eff_work: list[float] = []
-    n_weak = max(2, n_runs - 1)
-    for i in range(n_runs):
-        rn = one(n, replicate)
-        r4 = one(4 * n, replicate)
-        runs_n.append(rn)
-        runs_4n.append(r4)
-        pair_eff.append(round(rn["seconds"] / (4.0 * r4["seconds"]), 3))
-        if rn.get("probe_seconds") and r4.get("probe_seconds"):
-            # the pair's OWN box bound, measured inside the same two JVMs
-            # that produced the pair's pipeline times: a VM episode that
-            # slows one side's run slows its probe too, so the normalized
-            # ratio isolates the ENGINE's scaling from box drift.
-            c = round(rn["probe_seconds"] / (4.0 * r4["probe_seconds"]), 3)
-            pair_ceil.append(c)
-            pair_eff_norm.append(round(pair_eff[-1] / c, 3))
-        if rn.get("task_core_seconds") and r4.get("task_core_seconds"):
-            # identical logical work on both sides: the core-second ratio
-            # is this box's thread-count charge on the pipeline ITSELF
-            # (not a proxy probe); raw × inflation == u_4N/u_N = the
-            # efficiency on hardware with flat per-task cost.
-            infl = round(r4["task_core_seconds"] / rn["task_core_seconds"], 3)
-            pair_inflation.append(infl)
-            pair_eff_work.append(round(pair_eff[-1] * infl, 3))
-        if i < n_weak:
-            # weak scaling in the SAME round so the triple shares box
-            # state — the regime the 10^12-turn goal implies: 4N cores on
-            # 4× the data vs N cores on 1× (ideal = equal wall time).
-            # The weak probe runs 4× the rows at 4N cores, so the probe
-            # ratio is the weak-regime box bound. Both sides of the weak
-            # ratio are min-of-reps — a single-shot weak side against a
-            # min-of-reps N side would bias the ratio down.
-            w = one(4 * n, 4 * replicate, probe_rows=4 * probe_base)
-            weak_runs.append(w)
-            weak_eff.append(round(rn["seconds"] / w["seconds"], 3))
+
+    def _work(r: dict):
+        # net = gross minus the task's own GC + shuffle-write stalls
+        # (ADVICE r4: leaving engine-caused overheads in the inflation
+        # launders engine slowdown into the box charge). Headline uses
+        # net; gross stays on record with the u_4N/u_N identity.
+        return r.get("task_core_seconds_net") or r.get("task_core_seconds")
+
+    def summarize() -> None:
+        pair_eff, pair_ceil, pair_eff_norm = [], [], []
+        pair_infl, pair_eff_work = [], []
+        pair_infl_g, pair_eff_work_g = [], []
+        for rn, r4 in zip(runs_n, runs_4n):
+            e = round(rn["seconds"] / (4.0 * r4["seconds"]), 3)
+            pair_eff.append(e)
+            if rn.get("probe_seconds") and r4.get("probe_seconds"):
+                # the pair's OWN box bound, measured inside the same two
+                # JVMs that produced the pair's pipeline times: a VM
+                # episode that slows one side's run slows its probe too,
+                # so the normalized ratio isolates the ENGINE's scaling
+                # from box drift.
+                c = round(rn["probe_seconds"] / (4.0 * r4["probe_seconds"]), 3)
+                pair_ceil.append(c)
+                pair_eff_norm.append(round(e / c, 3))
+            if _work(rn) and _work(r4):
+                i_net = round(_work(r4) / _work(rn), 3)
+                pair_infl.append(i_net)
+                pair_eff_work.append(round(e * i_net, 3))
+            if rn.get("task_core_seconds") and r4.get("task_core_seconds"):
+                i_g = round(r4["task_core_seconds"] / rn["task_core_seconds"], 3)
+                pair_infl_g.append(i_g)
+                pair_eff_work_g.append(round(e * i_g, 3))
+        if not pair_eff:
+            return
+        best_n = min(runs_n, key=lambda x: x["seconds"])
+        best_4n = min(runs_4n, key=lambda x: x["seconds"])
+        out["seconds_n"] = round(_median([r["seconds"] for r in runs_n]), 3)
+        out["seconds_n_runs"] = [round(x["seconds"], 1) for x in runs_n]
+        out["seconds_4n"] = round(_median([r["seconds"] for r in runs_4n]), 3)
+        out["seconds_4n_runs"] = [round(x["seconds"], 1) for x in runs_4n]
+        if any("seconds_reps" in r for r in runs_n):
+            out["reps_per_run"] = max(len(r.get("seconds_reps", [1])) for r in runs_n)
+            out["seconds_n_all_reps"] = [r.get("seconds_reps") for r in runs_n]
+            out["seconds_4n_all_reps"] = [r.get("seconds_reps") for r in runs_4n]
+        out["turns"] = best_n["turns"]
+        out["turns_per_sec_n"] = round(best_n["turns"] / best_n["seconds"], 1)
+        out["turns_per_sec_4n"] = round(best_4n["turns"] / best_4n["seconds"], 1)
+        out["pair_efficiencies"] = pair_eff
+        out["efficiency"] = round(_median(pair_eff), 3)
+        out["efficiency_worst_pair"] = min(pair_eff)
+        out["efficiency_best_pair"] = max(pair_eff)
+        if pair_eff_norm:
+            out["probe_rows"] = runs_n[0].get("probe_rows")
+            out["probe_seconds_n_runs"] = [
+                round(r.get("probe_seconds", 0), 2) for r in runs_n
+            ]
+            out["probe_seconds_4n_runs"] = [
+                round(r.get("probe_seconds", 0), 2) for r in runs_4n
+            ]
+            out["pair_probe_ceilings"] = pair_ceil
+            out["pair_efficiencies_probe_normalized"] = pair_eff_norm
+            out["efficiency_probe_normalized"] = round(_median(pair_eff_norm), 3)
+            out["efficiency_probe_normalized_worst_pair"] = min(pair_eff_norm)
+            # the Arrow-kernel ceiling is measured per-pair inside the
+            # runs themselves; expose the median as kernel_ceiling for
+            # round-over-round continuity.
+            out["kernel_ceiling"] = round(_median(pair_ceil), 3)
+            out["efficiency_normalized_kernel"] = out["efficiency_probe_normalized"]
+            out["efficiency_normalized_kernel_worst_pair"] = out[
+                "efficiency_probe_normalized_worst_pair"
+            ]
+        if pair_eff_work:
+            out["task_core_seconds_n_runs"] = [r.get("task_core_seconds") for r in runs_n]
+            out["task_core_seconds_4n_runs"] = [r.get("task_core_seconds") for r in runs_4n]
+            out["task_core_seconds_net_n_runs"] = [
+                r.get("task_core_seconds_net") for r in runs_n
+            ]
+            out["task_core_seconds_net_4n_runs"] = [
+                r.get("task_core_seconds_net") for r in runs_4n
+            ]
+            out["utilization_n_runs"] = [r.get("utilization") for r in runs_n]
+            out["utilization_4n_runs"] = [r.get("utilization") for r in runs_4n]
+            out["pair_cpu_inflations"] = pair_infl
+            out["pair_efficiencies_work_normalized"] = pair_eff_work
+            out["efficiency_work_normalized"] = round(_median(pair_eff_work), 3)
+            out["efficiency_work_normalized_worst_pair"] = min(pair_eff_work)
+        if pair_eff_work_g:
+            out["pair_cpu_inflations_gross"] = pair_infl_g
+            out["pair_efficiencies_work_normalized_gross"] = pair_eff_work_g
+            out["efficiency_work_normalized_gross"] = round(_median(pair_eff_work_g), 3)
+            out["efficiency_work_normalized_gross_worst_pair"] = min(pair_eff_work_g)
+        # weak runs: weak run i pairs with the N run of pair i counted
+        # from the END (the weak run executes right after the last pair,
+        # so the most recent N run shares the closest box state).
+        weak_eff, weak_ceil, weak_eff_norm = [], [], []
+        weak_infl, weak_eff_work = [], []
+        for i, w in enumerate(weak_runs):
+            rn = runs_n[-(1 + i)] if i < len(runs_n) else runs_n[0]
+            e = round(rn["seconds"] / w["seconds"], 3)
+            weak_eff.append(e)
             if rn.get("probe_seconds") and w.get("probe_seconds"):
                 wc = round(rn["probe_seconds"] / w["probe_seconds"], 3)
                 weak_ceil.append(wc)
-                weak_eff_norm.append(round(weak_eff[-1] / wc, 3))
-            if rn.get("task_core_seconds") and w.get("task_core_seconds"):
-                wi = round(
-                    w["task_core_seconds"] / (4.0 * rn["task_core_seconds"]), 3
+                weak_eff_norm.append(round(e / wc, 3))
+            if _work(rn) and _work(w):
+                wi = round(_work(w) / (4.0 * _work(rn)), 3)
+                weak_infl.append(wi)
+                weak_eff_work.append(round(e * wi, 3))
+        if weak_eff:
+            out["weak_seconds_4n_4x"] = round(
+                _median([w["seconds"] for w in weak_runs]), 3
+            )
+            out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in weak_runs]
+            if any("seconds_reps" in w for w in weak_runs):
+                out["weak_seconds_all_reps"] = [w.get("seconds_reps") for w in weak_runs]
+            out["weak_turns_4x"] = weak_runs[0]["turns"]
+            out["weak_pair_efficiencies"] = weak_eff
+            out["weak_efficiency"] = round(_median(weak_eff), 3)
+            out["weak_efficiency_worst_pair"] = min(weak_eff)
+            if weak_eff_norm:
+                out["probe_seconds_weak_runs"] = [
+                    round(w.get("probe_seconds", 0), 2) for w in weak_runs
+                ]
+                out["weak_pair_probe_ceilings"] = weak_ceil
+                out["weak_pair_efficiencies_probe_normalized"] = weak_eff_norm
+                out["weak_efficiency_probe_normalized"] = round(
+                    _median(weak_eff_norm), 3
                 )
-                weak_inflation.append(wi)
-                weak_eff_work.append(round(weak_eff[-1] * wi, 3))
+                out["weak_efficiency_probe_normalized_worst_pair"] = min(weak_eff_norm)
+            if weak_eff_work:
+                out["weak_task_core_seconds_runs"] = [
+                    w.get("task_core_seconds") for w in weak_runs
+                ]
+                out["weak_pair_cpu_inflations"] = weak_infl
+                out["weak_pair_efficiencies_work_normalized"] = weak_eff_work
+                out["weak_efficiency_work_normalized"] = round(
+                    _median(weak_eff_work), 3
+                )
+                out["weak_efficiency_work_normalized_worst_pair"] = min(weak_eff_work)
 
-    def med(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+    walls: dict[str, float] = {}  # measured wall of the last unit per kind
 
-    best_n = min(runs_n, key=lambda x: x["seconds"])
-    best_4n = min(runs_4n, key=lambda x: x["seconds"])
-    out["seconds_n"] = round(med([r["seconds"] for r in runs_n]), 3)
-    out["seconds_n_runs"] = [round(x["seconds"], 1) for x in runs_n]
-    out["seconds_4n"] = round(med([r["seconds"] for r in runs_4n]), 3)
-    out["seconds_4n_runs"] = [round(x["seconds"], 1) for x in runs_4n]
-    if any("seconds_reps" in r for r in runs_n):
-        out["reps_per_run"] = max(len(r.get("seconds_reps", [1])) for r in runs_n)
-        out["seconds_n_all_reps"] = [r.get("seconds_reps") for r in runs_n]
-        out["seconds_4n_all_reps"] = [r.get("seconds_reps") for r in runs_4n]
-    out["turns"] = best_n["turns"]
-    out["turns_per_sec_n"] = round(best_n["turns"] / best_n["seconds"], 1)
-    out["turns_per_sec_4n"] = round(best_4n["turns"] / best_4n["seconds"], 1)
-    out["pair_efficiencies"] = pair_eff
-    out["efficiency"] = round(med(pair_eff), 3)
-    out["efficiency_worst_pair"] = min(pair_eff)
-    out["efficiency_best_pair"] = max(pair_eff)
-    if pair_eff_norm:
-        out["probe_rows"] = runs_n[0].get("probe_rows")
-        out["probe_seconds_n_runs"] = [round(r.get("probe_seconds", 0), 2) for r in runs_n]
-        out["probe_seconds_4n_runs"] = [round(r.get("probe_seconds", 0), 2) for r in runs_4n]
-        out["pair_probe_ceilings"] = pair_ceil
-        out["pair_efficiencies_probe_normalized"] = pair_eff_norm
-        out["efficiency_probe_normalized"] = round(med(pair_eff_norm), 3)
-        out["efficiency_probe_normalized_worst_pair"] = min(pair_eff_norm)
-    if pair_eff_work:
-        out["task_core_seconds_n_runs"] = [r.get("task_core_seconds") for r in runs_n]
-        out["task_core_seconds_4n_runs"] = [r.get("task_core_seconds") for r in runs_4n]
-        out["utilization_n_runs"] = [r.get("utilization") for r in runs_n]
-        out["utilization_4n_runs"] = [r.get("utilization") for r in runs_4n]
-        out["pair_cpu_inflations"] = pair_inflation
-        out["pair_efficiencies_work_normalized"] = pair_eff_work
-        out["efficiency_work_normalized"] = round(med(pair_eff_work), 3)
-        out["efficiency_work_normalized_worst_pair"] = min(pair_eff_work)
-    if weak_eff:
-        out["weak_seconds_4n_4x"] = round(med([w["seconds"] for w in weak_runs]), 3)
-        out["weak_seconds_4n_4x_runs"] = [round(x["seconds"], 1) for x in weak_runs]
-        if any("seconds_reps" in w for w in weak_runs):
-            out["weak_seconds_all_reps"] = [w.get("seconds_reps") for w in weak_runs]
-        out["weak_turns_4x"] = weak_runs[0]["turns"]
-        out["weak_pair_efficiencies"] = weak_eff
-        out["weak_efficiency"] = round(med(weak_eff), 3)
-        out["weak_efficiency_worst_pair"] = min(weak_eff)
-        if weak_eff_norm:
-            out["probe_seconds_weak_runs"] = [
-                round(w.get("probe_seconds", 0), 2) for w in weak_runs
-            ]
-            out["weak_pair_probe_ceilings"] = weak_ceil
-            out["weak_pair_efficiencies_probe_normalized"] = weak_eff_norm
-            out["weak_efficiency_probe_normalized"] = round(med(weak_eff_norm), 3)
-            out["weak_efficiency_probe_normalized_worst_pair"] = min(weak_eff_norm)
-        if weak_eff_work:
-            out["weak_task_core_seconds_runs"] = [
-                w.get("task_core_seconds") for w in weak_runs
-            ]
-            out["weak_pair_cpu_inflations"] = weak_inflation
-            out["weak_pair_efficiencies_work_normalized"] = weak_eff_work
-            out["weak_efficiency_work_normalized"] = round(med(weak_eff_work), 3)
-            out["weak_efficiency_work_normalized_worst_pair"] = min(weak_eff_work)
-    # the same-run CPU ceilings normalize the efficiency for this single
-    # shared VM (a real 4N-executor cluster scales CPUs with executors).
-    # Two ceilings, both zero-shuffle one-wave jobs: pure-JVM codegen
-    # (the r2/r3 definition, kept for continuity) and the Arrow/Python
-    # kernel analog — the latter is the representative bound for THIS
-    # pipeline, whose hot stages are Arrow-batched Python kernels (the
-    # pure-JVM job leaves all Python workers idle and so understates the
-    # box's per-slot cost of going N→4N).
-    try:
-        c = measure_cpu_ceiling(n, n_runs)
-        out["cpu_ceiling"] = c["ceiling"]
-        out["cpu_ceiling_runs_n"] = c["runs_n"]
-        out["cpu_ceiling_runs_4n"] = c["runs_4n"]
-        out["efficiency_normalized"] = round(out["efficiency"] / c["ceiling"], 3)
-        out["efficiency_normalized_worst_pair"] = round(
-            out["efficiency_worst_pair"] / c["ceiling"], 3
+    def timed(kind: str, fn):
+        t0 = time.time()
+        r = fn()
+        walls[kind] = time.time() - t0
+        return r
+
+    # --- strong pairs (protected core: the first 2 always run) ---
+    for i in range(n_runs):
+        est = walls.get("n", 0) + walls.get("4n", 0)
+        if i >= 2 and not fits(est):
+            out["degraded"].append(
+                f"pair{i + 1}: skipped (est {est:.0f}s > budget)"
+            )
+            break
+        runs_n.append(timed("n", lambda: one(n, replicate, probe_rows, deadline())))
+        runs_4n.append(timed("4n", lambda: one(4 * n, replicate, probe_rows, deadline())))
+        summarize()
+        if emit:
+            emit(out)
+    # --- weak runs: 4N cores on 4× the data vs N cores on 1× (ideal =
+    # equal wall). The weak probe runs 4× the rows at 4N cores, so the
+    # probe ratio is the weak-regime box bound. Both sides of the weak
+    # ratio are min-of-reps — a single-shot weak side against a
+    # min-of-reps N side would bias the ratio down. ---
+    for i in range(weak_n):
+        est = walls.get("weak", walls.get("n", 300) * 1.4)
+        if not fits(est):
+            out["degraded"].append(f"weak{i + 1}: skipped (est {est:.0f}s > budget)")
+            break
+        weak_runs.append(
+            timed("weak", lambda: one(4 * n, 4 * replicate, 4 * probe_rows, deadline()))
         )
-    except Exception:
-        pass
-    # the Arrow-kernel ceiling is now measured per-pair inside the runs
-    # themselves (pair_probe_ceilings above) — same job shape as the old
-    # separate kernel-ceiling subprocesses (bench.py --phase
-    # kernel-ceiling keeps that mode available), but contemporaneous with
-    # the runs it normalizes. Expose the median as kernel_ceiling for
-    # round-over-round continuity.
-    if pair_ceil:
-        out["kernel_ceiling"] = round(med(pair_ceil), 3)
-        out["efficiency_normalized_kernel"] = out["efficiency_probe_normalized"]
-        out["efficiency_normalized_kernel_worst_pair"] = out[
-            "efficiency_probe_normalized_worst_pair"
-        ]
+        summarize()
+        if emit:
+            emit(out)
+    # --- same-run CPU ceiling (legacy pure-JVM normalization; lowest
+    # evidence value, dropped first): zero-shuffle codegen aggregation at
+    # N vs 4N in fresh JVMs. The representative Arrow-kernel bound is
+    # already measured per-pair inside the runs (pair_probe_ceilings). ---
+    est = walls.get("ceiling", 60.0 * 2 * ceiling_runs)
+    if fits(est):
+        try:
+            c = timed("ceiling", lambda: measure_cpu_ceiling(n, ceiling_runs))
+            out["cpu_ceiling"] = c["ceiling"]
+            out["cpu_ceiling_runs_n"] = c["runs_n"]
+            out["cpu_ceiling_runs_4n"] = c["runs_4n"]
+            if "efficiency" in out:
+                out["efficiency_normalized"] = round(
+                    out["efficiency"] / c["ceiling"], 3
+                )
+                out["efficiency_normalized_worst_pair"] = round(
+                    out["efficiency_worst_pair"] / c["ceiling"], 3
+                )
+        except Exception as e:
+            print(f"WARN bench: cpu ceiling failed: {e!r}", file=sys.stderr)
+    else:
+        out["degraded"].append(f"cpu_ceiling: skipped (est {est:.0f}s > budget)")
+    if not out["degraded"]:
+        del out["degraded"]
     return out
 
 
@@ -647,24 +800,41 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     # 12 makes steady-state compute dominate the per-run serial constant
     # measured by scripts/profile_jobs.py (~250s N-side wall vs ~15-20s
-    # constant; a real 4N-executor cluster amortizes it across machines)
-    # while keeping the 3-pairs+2-weak protocol under ~45 min.
+    # constant; a real 4N-executor cluster amortizes it across machines).
     ap.add_argument("--scaling-replicate", type=int, default=12)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--cold", action="store_true", help="skip the warm-up pass in --phase kg")
-    ap.add_argument("--runs", type=int, default=3, help="runs per scaling point (spread is recorded)")
+    ap.add_argument("--runs", type=int, default=2, help="strong pairs (spread is recorded)")
+    ap.add_argument("--weak-runs", type=int, default=1, help="weak-scaling runs")
     ap.add_argument("--probe-rows", type=int, default=0,
                     help="bracket the timed kg section with kernel probes of this many rows")
     ap.add_argument("--reps", type=int, default=1,
                     help="timed pipeline repetitions inside one warm JVM (min reported)")
     ap.add_argument("--max-reps", type=int, default=0,
                     help="adaptive cap: add reps while the two fastest disagree >4%%")
+    ap.add_argument("--deadline-ts", type=float, default=0.0,
+                    help="absolute unix time; --phase kg stops adding reps past it")
+    # The wall-clock budget exists because of round 4: the full protocol
+    # (3 pairs × adaptive reps + 2 weak + ceilings, 80-90+ min) overran
+    # the driver's bench window and the driver recorded NOTHING (rc=124,
+    # parsed null). Round 3's complete run finished at ~62 min, so the
+    # default budget targets ~38 min of scheduled work; with the 1.15×
+    # pre-unit safety margin and per-subprocess deadlines, worst-case
+    # wall stays well under the proven window even on a slow box.
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2250")),
+                    help="wall-clock budget (s) for the full phase; scaling units "
+                         "that don't fit are skipped and recorded in 'degraded'")
+    ap.add_argument("--thorough", action="store_true",
+                    help="full round-4 protocol: 3 pairs, 2 weak runs, adaptive "
+                         "reps to 3, 12M-row probes, 3-run ceilings, no budget")
     args = ap.parse_args()
 
     if args.phase == "kg":
         print(json.dumps(run_kg(args.cores, args.replicate, warmup=not args.cold,
                                 probe_rows=args.probe_rows, reps=args.reps,
-                                max_reps=args.max_reps)))
+                                max_reps=args.max_reps,
+                                deadline_ts=args.deadline_ts)))
         return
     if args.phase == "skew":
         print(json.dumps(run_skew(args.cores)))
@@ -675,6 +845,12 @@ def main() -> None:
     if args.phase == "kernel-ceiling":
         print(json.dumps(run_kernel_ceiling(args.cores)))
         return
+
+    t_start = time.time()
+    budget_left = None
+    if not args.thorough and args.budget > 0:
+        def budget_left() -> float:  # noqa: F811
+            return args.budget - (time.time() - t_start)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     times, query_runs, total = run_queries()
@@ -687,22 +863,46 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
     }
+
+    def emit() -> None:
+        # progressive emission: every line is a complete, standalone JSON
+        # of everything measured so far, most complete last — whether the
+        # driver parses the first or the last JSON line, and even if it
+        # kills the process mid-protocol, a parseable result exists.
+        print(json.dumps(result), flush=True)
+
+    emit()  # headline evidence lands before any scaling work starts
     if args.phase == "full" and not args.skip_scaling:
         try:
-            result["kg_scaling"] = scaling_evidence(
-                args.scaling_n, args.scaling_replicate, args.runs, args.cold
-            )
-        except Exception as e:  # scaling evidence is best-effort in bench
-            result["kg_scaling_error"] = str(e)[:200]
-        try:
             result["kg_skew"] = run_skew(CPUS)
+            emit()
         except Exception as e:
             result["kg_skew_error"] = str(e)[:200]
         try:
+            if args.thorough:
+                result["kg_scaling"] = scaling_evidence(
+                    args.scaling_n, args.scaling_replicate, n_runs=3,
+                    cold=args.cold, weak_n=2, probe_rows=12_000_000,
+                    reps=2, max_reps=3, ceiling_runs=3,
+                )
+            else:
+                def emit_scaling(s: dict) -> None:
+                    result["kg_scaling"] = s
+                    emit()
+
+                result["kg_scaling"] = scaling_evidence(
+                    args.scaling_n, args.scaling_replicate, n_runs=args.runs,
+                    cold=args.cold, weak_n=args.weak_runs,
+                    budget_left=budget_left, emit=emit_scaling,
+                )
+        except Exception as e:  # scaling evidence is best-effort in bench
+            result["kg_scaling_error"] = str(e)[:200]
+        try:
             _write_bench_baseline(result)
-        except Exception:
-            pass
-    print(json.dumps(result))
+        except Exception as e:
+            print(f"WARN bench: BENCH/BASELINE.md write failed: {e!r}", file=sys.stderr)
+    result["bench_wall_seconds"] = round(time.time() - t_start, 1)
+    emit()
 
 
 def _write_bench_baseline(result: dict) -> None:
@@ -728,6 +928,18 @@ def _write_bench_baseline(result: dict) -> None:
             "",
             "## KG pipeline scaling (north-rule N vs 4N evidence)",
             "",
+        ]
+        if s.get("degraded"):
+            lines += [
+                f"NOTE — budget degradation engaged: {s['degraded']}. The "
+                "bench runs under a wall-clock budget (round-4 lesson: the "
+                "full protocol overran the driver's window and recorded "
+                "nothing); units that did not fit were skipped, lowest-value "
+                "first (ceiling → weak → extra pairs). `bench.py --thorough` "
+                "runs the full protocol.",
+                "",
+            ]
+        lines += [
             "Same job, same input (events-derived transcripts, "
             f"replicate={s.get('replicate')}, {s.get('turns')} turns); "
             f"protocol = {s.get('protocol', 'warm-paired')} (each subprocess JVM runs the identical "
@@ -792,24 +1004,35 @@ def _write_bench_baseline(result: dict) -> None:
             f"**Work-normalized strong efficiency = "
             f"{s.get('efficiency_work_normalized', 'n/a')} (median), "
             f"{s.get('efficiency_work_normalized_worst_pair', 'n/a')} (worst pair)** — "
-            "the strongest of the three normalizations because it is measured "
-            "inside the pipeline ITSELF, not a proxy: each run's Spark event "
-            "log records the task core-seconds its timed section actually "
-            "executed, and both sides of a pair run IDENTICAL logical work — "
-            "yet on this box the 4N side pays more core-seconds per task "
-            "(all-core frequency + shared memory bandwidth on fixed silicon; "
-            f"per-pair inflation {s.get('pair_cpu_inflations', [])}, task "
+            "measured inside the pipeline ITSELF, not a proxy: each run's "
+            "Spark event log records the task core-seconds its timed section "
+            "actually executed (successful non-speculative attempts only, "
+            "clipped to the timed window), and both sides of a pair run "
+            "IDENTICAL logical work — yet on this box the 4N side pays more "
+            "core-seconds per task (all-core frequency + shared memory "
+            "bandwidth on fixed silicon; "
+            f"per-pair inflation {s.get('pair_cpu_inflations', [])}, net task "
+            f"core-seconds N {s.get('task_core_seconds_net_n_runs', [])} vs 4N "
+            f"{s.get('task_core_seconds_net_4n_runs', [])}). The inflation is "
+            "computed NET of each task's own JVM GC time and shuffle-write "
+            "stalls, so engine-caused overheads at higher parallelism (heap "
+            "pressure, shuffle volume) are NOT credited to the box "
+            f"(gross-inflation variant {s.get('efficiency_work_normalized_gross', 'n/a')} "
+            f"median / {s.get('efficiency_work_normalized_gross_worst_pair', 'n/a')} worst, "
+            f"gross inflations {s.get('pair_cpu_inflations_gross', [])}, gross task "
             f"core-seconds N {s.get('task_core_seconds_n_runs', [])} vs 4N "
-            f"{s.get('task_core_seconds_4n_runs', [])}). raw × inflation "
-            "algebraically equals the task-slot utilization ratio u_4N/u_N "
-            f"(utilizations N {s.get('utilization_n_runs', [])}, 4N "
-            f"{s.get('utilization_4n_runs', [])}) — i.e. the efficiency this "
-            "exact plan achieves on hardware whose per-task cost is flat "
-            "across cluster sizes, which is precisely what 4N real executors "
-            "(each with its own cores, memory bus and disks) provide. The "
-            "engine's own contribution to scaling loss — scheduling, skew, "
-            "shuffle barriers, driver serialism — is the distance of THIS "
-            "number from 1.0.",
+            f"{s.get('task_core_seconds_4n_runs', [])}; raw × gross inflation "
+            "algebraically equals the task-slot utilization ratio u_4N/u_N, "
+            f"utilizations N {s.get('utilization_n_runs', [])}, 4N "
+            f"{s.get('utilization_4n_runs', [])}). This estimates the "
+            "efficiency the same plan achieves on hardware whose per-task "
+            "cost is flat across cluster sizes — what 4N real executors "
+            "(own cores, memory bus, disks) provide — but it cannot fully "
+            "separate residual engine-caused contention (Python-worker "
+            "scheduling, bandwidth-induced slow paths) from the box charge "
+            "on one shared machine, so the RAW and PROBE-normalized numbers "
+            "above remain co-equal gate evidence rather than being replaced "
+            "by this one.",
             "",
             f"**Weak-scaling efficiency = {s.get('weak_efficiency', 'n/a')}** "
             f"(N cores on {s.get('turns')} turns vs 4N cores on "
