@@ -524,8 +524,10 @@ def scaling_evidence(
     more complete JSON lines, and (b) consults ``budget_left()`` before
     starting each unit, using the measured wall of the previous same-shape
     unit as the cost estimate; units that don't fit are skipped and named
-    in ``degraded``. Degradation order (dropped first): CPU ceiling, weak
-    runs, extra pairs — the 2-pair strong-scaling core is protected.
+    in ``degraded``. Units run in priority order — strong pairs (the
+    first 2 are protected and always run), then weak runs, then the CPU
+    ceiling — each gated on its own cost, so a cheap late unit (ceiling)
+    can still fit after an expensive one (weak) was skipped.
     Subprocesses also get an absolute ``--deadline-ts`` so a slow box
     can't stretch a unit past the window via extra reps."""
 
@@ -934,9 +936,10 @@ def _write_bench_baseline(result: dict) -> None:
                 f"NOTE — budget degradation engaged: {s['degraded']}. The "
                 "bench runs under a wall-clock budget (round-4 lesson: the "
                 "full protocol overran the driver's window and recorded "
-                "nothing); units that did not fit were skipped, lowest-value "
-                "first (ceiling → weak → extra pairs). `bench.py --thorough` "
-                "runs the full protocol.",
+                "nothing); each unit is gated on its own cost in priority "
+                "order (strong pairs → weak → ceiling), so an expensive unit "
+                "can be skipped while a cheaper later one still fits. "
+                "`bench.py --thorough` runs the full protocol.",
                 "",
             ]
         lines += [
@@ -1034,25 +1037,41 @@ def _write_bench_baseline(result: dict) -> None:
             "above remain co-equal gate evidence rather than being replaced "
             "by this one.",
             "",
-            f"**Weak-scaling efficiency = {s.get('weak_efficiency', 'n/a')}** "
-            f"(N cores on {s.get('turns')} turns vs 4N cores on "
-            f"{s.get('weak_turns_4x', 'n/a')} turns, wall {s.get('seconds_n')}s vs "
-            f"{s.get('weak_seconds_4n_4x', 'n/a')}s, paired ratios "
-            f"{s.get('weak_pair_efficiencies', [])}; ideal = 1.0) — the regime the "
-            "10^12-turn goal implies: executor count grows WITH the data. "
-            f"Probe-normalized weak efficiency = "
-            f"**{s.get('weak_efficiency_probe_normalized', 'n/a')}** (worst pair "
-            f"{s.get('weak_efficiency_probe_normalized_worst_pair', 'n/a')}; weak "
-            "probes run 4× the rows at 4N cores so the probe ratio is the "
-            "weak-regime box bound; per-pair weak ceilings "
-            f"{s.get('weak_pair_probe_ceilings', [])}). Work-normalized weak "
-            f"efficiency = **{s.get('weak_efficiency_work_normalized', 'n/a')}** "
-            f"(worst pair {s.get('weak_efficiency_work_normalized_worst_pair', 'n/a')}; "
-            "weak inflation = weak task core-seconds / 4× the N side's — the "
-            "4× data is exactly 4× the logical work, task-linearity measured "
-            f"at 0.2%; per-pair {s.get('weak_pair_cpu_inflations', [])}, weak task "
-            f"core-seconds {s.get('weak_task_core_seconds_runs', [])}).",
-            "",
+        ]
+        if s.get("weak_efficiency") is not None:
+            lines += [
+                f"**Weak-scaling efficiency = {s.get('weak_efficiency', 'n/a')}** "
+                f"(N cores on {s.get('turns')} turns vs 4N cores on "
+                f"{s.get('weak_turns_4x', 'n/a')} turns, wall {s.get('seconds_n')}s vs "
+                f"{s.get('weak_seconds_4n_4x', 'n/a')}s, paired ratios "
+                f"{s.get('weak_pair_efficiencies', [])}; ideal = 1.0) — the regime the "
+                "10^12-turn goal implies: executor count grows WITH the data. "
+                f"Probe-normalized weak efficiency = "
+                f"**{s.get('weak_efficiency_probe_normalized', 'n/a')}** (worst pair "
+                f"{s.get('weak_efficiency_probe_normalized_worst_pair', 'n/a')}; weak "
+                "probes run 4× the rows at 4N cores so the probe ratio is the "
+                "weak-regime box bound; per-pair weak ceilings "
+                f"{s.get('weak_pair_probe_ceilings', [])}). Work-normalized weak "
+                f"efficiency = **{s.get('weak_efficiency_work_normalized', 'n/a')}** "
+                f"(worst pair {s.get('weak_efficiency_work_normalized_worst_pair', 'n/a')}; "
+                "weak inflation = weak task core-seconds / 4× the N side's — the "
+                "4× data is exactly 4× the logical work, task-linearity measured "
+                f"at 0.2%; per-pair {s.get('weak_pair_cpu_inflations', [])}, weak task "
+                f"core-seconds {s.get('weak_task_core_seconds_runs', [])}).",
+                "",
+            ]
+        else:
+            lines += [
+                "Weak-scaling runs (4N cores on 4× data vs N on 1×) did not fit "
+                "this invocation's wall-clock budget and were skipped (see the "
+                "degradation note above; `bench.py --thorough` includes them). "
+                "Historical record, round-4 full protocol on this engine: raw "
+                "weak median 0.825, probe-normalized 0.844 (worst pair 0.745), "
+                "work-normalized 0.966 (worst pair 0.955), task work linear in "
+                "data to 0.2%.",
+                "",
+            ]
+        lines += [
             "Round-3 ask #2 (weak regression 0.600→0.579, hypothesis: kernel",
             "batch size / cache locality): A/B'd cfg.kernel_batch_size at the",
             "weak point (16 cores, replicate 96; scripts/profile_weak.py).",
