@@ -17,9 +17,11 @@ all), a parseable result exists. The final line:
    "kg_skew": {...}, "kg_scaling": {"efficiency": ..., ...}}
 
 The full phase runs under a wall-clock budget (--budget, default 2250 s ≈
-38 min; env $SPARK_GRAFT_BENCH_BUDGET) that drops scaling units — CPU
-ceiling first, then weak runs, then extra pairs — when they would not
-fit; `--thorough` restores the round-4 full protocol with no budget.
+38 min; env $SPARK_GRAFT_BENCH_BUDGET): scaling units run in priority
+order (2 protected strong pairs → weak runs → CPU ceiling), each gated
+on its own estimated cost against the remaining budget, with skips
+recorded in kg_scaling.degraded; `--thorough` restores the round-4 full
+protocol with no budget.
 
 Subprocess mode (internal): `bench.py --phase kg --cores N` runs only the
 KG pipeline and prints {"seconds": ..., "turns": ...}.
@@ -57,6 +59,21 @@ HEADLINE = [
     "text_stats",
     "text_fingerprint",
 ]
+
+
+def _quiet_spark(*args, **kwargs):
+    """get_spark with bench log hygiene: log level ERROR and console
+    progress bars off. The round-4 driver tail was a flood of benign
+    WindowExec warnings and stage-progress lines that buried the (in that
+    round, absent) JSON evidence — bench output should be the JSON lines
+    and little else."""
+    from bionext_spark.session import get_spark
+
+    extra = dict(kwargs.pop("extra_conf", None) or {})
+    extra.setdefault("spark.ui.showConsoleProgress", "false")
+    spark = get_spark(*args, extra_conf=extra, **kwargs)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 def _materialize(df) -> int:
@@ -205,7 +222,6 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
     import tempfile
 
     from bionext_spark.flagship import run_kg_pipeline
-    from bionext_spark.session import get_spark
 
     # Heap scales with core count (override with $SPARK_DRIVER_MEM): the
     # north rule's cluster brings 4N executors with FIXED per-executor
@@ -217,7 +233,7 @@ def run_kg(cores: int, replicate: int = 1, warmup: bool = True, probe_rows: int 
     # event log: task-level work accounting for the run's own
     # normalization (see the task_core_seconds fields below)
     log_dir = tempfile.mkdtemp(prefix="bench-kg-events-")
-    spark = get_spark(
+    spark = _quiet_spark(
         f"bench-kg-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
         extra_conf={
             "spark.driver.memory": mem,
@@ -324,10 +340,9 @@ def run_queries(n_runs: int = 3) -> tuple[dict[str, float], dict[str, list[float
     VM episode cannot depress a single query's every sample."""
     from bionext_spark.corpus_queries import CORPUS
     from bionext_spark.entry_queries import RELATIONAL
-    from bionext_spark.session import get_spark
 
     registry = {**RELATIONAL, **CORPUS}
-    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark = _quiet_spark("bench-queries", cores=CPUS, shuffle_partitions=max(CPUS, 8))
     # untimed warmup: JVM JIT, codegen, Arrow, parquet footers + OS page
     # cache for the big tables — otherwise the first query (q1) absorbs
     # ~3s of session warmup that belongs to no query
@@ -354,9 +369,7 @@ def run_ceiling(cores: int, rows: int = 40_000_000_000) -> dict:
     round-1 python busy-loop (0.81)."""
     from pyspark.sql import functions as F
 
-    from bionext_spark.session import get_spark
-
-    spark = get_spark(f"bench-ceiling-{cores}", cores=cores)
+    spark = _quiet_spark(f"bench-ceiling-{cores}", cores=cores)
     spark.range(100_000_000).select(F.avg(F.xxhash64("id"))).collect()  # warmup
     t0 = time.time()
     spark.range(rows, numPartitions=cores * 8).select(F.avg(F.xxhash64("id"))).collect()
@@ -374,9 +387,7 @@ def run_kernel_ceiling(cores: int, rows: int = 48_000_000) -> dict:
     N→4N: each added task slot activates a JVM task thread AND a Python
     worker on fixed shared silicon. Anything below 1.0 here is the
     machine, not the engine."""
-    from bionext_spark.session import get_spark
-
-    spark = get_spark(f"bench-kernel-ceiling-{cores}", cores=cores)
+    spark = _quiet_spark(f"bench-kernel-ceiling-{cores}", cores=cores)
     _kernel_probe(spark, 100_000, cores)  # warmup: workers spawn, regex compiles
     dt = _kernel_probe(spark, rows, cores * 4)
     spark.stop()
@@ -427,10 +438,9 @@ def run_skew(cores: int = CPUS, skew_turns: int = 2_000_000, n_normal: int = 200
     from pyspark.sql import functions as F
 
     from bionext_spark.operators.assemble import assemble_conversations
-    from bionext_spark.session import get_spark
 
     log_dir = _tf.mkdtemp(prefix="skew-events-")
-    spark = get_spark(
+    spark = _quiet_spark(
         f"bench-skew-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
         extra_conf={
             "spark.eventLog.enabled": "true",
