@@ -4,9 +4,13 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 kernels over ``mapInPandas``. The Spark-side plumbing — schema,
 partition-preserving batch shape, deterministic fake features for tests —
-is real; the actual codec calls are stubbed (`decode_stub`) because no
-image/audio library ships in this environment: swap `_decode_image` for a
-PIL/libvips call and the operator contract is unchanged.
+is real; the codec calls are import-gated per modality (`decode_real`
+dispatches to the PIL image hook, the soundfile audio hook, the
+imageio/pyav video hook) and `decode_stub` is the deterministic default
+in codec-free environments like this image. Every path returns the same
+8-float [-1, 1] feature contract, so the operator plumbing is
+modality-agnostic; the gated hooks are executed in-image against fake
+codec shims (tests/test_multimodal.py).
 
 Scale notes: payload bytes never shuffle through these ops (all are
 narrow mapInPandas); metadata-only projections prune the binary column at
@@ -81,6 +85,85 @@ def _decode_image(payload: bytes, fmt: str) -> list[float]:
     return [p / 127.5 - 1.0 for p in img.getdata()]
 
 
+def _decode_audio(payload: bytes, fmt: str) -> list[float]:
+    """Real audio hook — soundfile-backed, import-gated like `_decode_image`.
+
+    With soundfile installed, decodes the payload, downmixes to mono and
+    returns an 8-bin RMS envelope scaled to [-1, 1] — the same 8-float
+    shape/range contract as every other decode path, so the Spark
+    plumbing is modality-agnostic. Without soundfile (this image) it
+    raises NotImplementedError; tests exercise the full code path against
+    a fake soundfile shim (the HF-shim pattern, tests/test_multimodal.py)."""
+    try:
+        import soundfile as sf  # noqa: PLC0415 - extras gate
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio codecs are not installed in this environment; install "
+            "soundfile (libsndfile) on a real cluster"
+        ) from e
+    import io
+
+    import numpy as np
+
+    data, _rate = sf.read(io.BytesIO(payload))
+    x = np.asarray(data, dtype="float64")
+    if x.ndim > 1:
+        x = x.mean(axis=1)  # downmix channels
+    if x.size == 0:
+        return [0.0] * 8
+    bins = np.array_split(x, 8)
+    return [
+        float(min(1.0, np.sqrt(float((b**2).mean())) if b.size else 0.0) * 2.0 - 1.0)
+        for b in bins
+    ]
+
+
+def _decode_video(payload: bytes, fmt: str) -> list[float]:
+    """Real video hook — imageio-backed (pyav/ffmpeg plugin), import-gated.
+
+    Decodes the FIRST frame, grayscales, average-pools to 4×2 and scales
+    to [-1, 1] — identical contract to `_decode_image`, so a video is 'an
+    image per sampled frame' to the rest of the engine (frame selection is
+    the relational `sample_frames` plan, which never touches bytes)."""
+    try:
+        import imageio.v3 as iio  # noqa: PLC0415 - extras gate
+    except ImportError as e:
+        raise NotImplementedError(
+            "video codecs are not installed in this environment; install "
+            "imageio[pyav] (ffmpeg) on a real cluster"
+        ) from e
+    import numpy as np
+
+    frame = next(iter(iio.imiter(payload, extension=f".{fmt}")))
+    arr = np.asarray(frame, dtype="float64")
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)  # grayscale
+    h, w = arr.shape
+    pooled = [
+        float(arr[r * h // 2 : (r + 1) * h // 2, c * w // 4 : (c + 1) * w // 4].mean())
+        for r in range(2)
+        for c in range(4)
+    ]
+    return [p / 127.5 - 1.0 for p in pooled]
+
+
+IMAGE_FORMATS = {"png", "jpeg", "jpg", "gif", "bmp", "webp"}
+AUDIO_FORMATS = {"wav", "flac", "ogg", "mp3"}
+VIDEO_FORMATS = {"mp4", "webm", "mkv", "avi"}
+
+
+def decode_real(payload: bytes, fmt: str) -> list[float]:
+    """Format-dispatched real decode: every modality returns the same
+    8-float [-1, 1] feature contract, each behind its own extras gate."""
+    if fmt in IMAGE_FORMATS:
+        return _decode_image(payload, fmt)
+    if fmt in AUDIO_FORMATS:
+        return _decode_audio(payload, fmt)
+    if fmt in VIDEO_FORMATS:
+        return _decode_video(payload, fmt)
+    raise NotImplementedError(f"unknown media format {fmt!r}")
+
+
 def decode_stub(payload: bytes, fmt: str) -> list[float]:
     """Deterministic fake 'decoded features': 8 floats from the payload
     digest — keeps the full Spark plumbing testable without codecs."""
@@ -98,7 +181,7 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 fmt = meta["format"] if meta is not None else "unknown"
                 if use_real_codec:
-                    feats.append(_decode_image(bytes(payload), fmt))
+                    feats.append(decode_real(bytes(payload), fmt))
                 else:
                     feats.append(decode_stub(bytes(payload), fmt))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})

@@ -84,3 +84,94 @@ def test_real_codec_raises_without_pil():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG...", "png")
+
+
+# --- gated audio/video hooks: executed in-image against fake codec shims
+# (the HF-shim pattern) so the REAL code paths run without the libraries ---
+
+
+def test_audio_hook_gated():
+    from bionext_spark.operators.multimodal import _decode_audio
+
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile present; gate path not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        _decode_audio(b"RIFF....", "wav")
+
+
+def test_video_hook_gated():
+    from bionext_spark.operators.multimodal import _decode_video
+
+    try:
+        import imageio  # noqa: F401
+
+        pytest.skip("imageio present; gate path not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="imageio"):
+        _decode_video(b"\x00\x00\x00 ftyp", "mp4")
+
+
+def test_audio_decode_executes_against_shim(monkeypatch):
+    """Full _decode_audio path (read → downmix → 8-bin RMS envelope) with
+    a fake soundfile module: stereo ramp input, envelope values verified
+    against a hand computation."""
+    import sys
+    import types
+
+    import numpy as np
+
+    def fake_read(buf):
+        # 16 stereo samples; channel mean = [0, 1/15, ..., 1]
+        mono = np.linspace(0, 1, 16)
+        return np.stack([mono, mono], axis=1), 16000
+
+    monkeypatch.setitem(sys.modules, "soundfile", types.SimpleNamespace(read=fake_read))
+    from bionext_spark.operators.multimodal import _decode_audio
+
+    out = _decode_audio(b"irrelevant", "wav")
+    mono = np.linspace(0, 1, 16)
+    expected = [
+        float(min(1.0, np.sqrt((b**2).mean())) * 2 - 1) for b in np.array_split(mono, 8)
+    ]
+    assert out == pytest.approx(expected)
+    assert all(-1.0 <= v <= 1.0 for v in out)
+
+
+def test_video_decode_executes_against_shim(monkeypatch):
+    """Full _decode_video path (first frame → grayscale → 4×2 average pool
+    → [-1, 1]) with a fake imageio.v3 module; a constant-gray frame pools
+    to a constant vector."""
+    import sys
+    import types
+
+    import numpy as np
+
+    def fake_imiter(payload, extension=None):
+        yield np.full((8, 16, 3), 127.5)
+        yield np.zeros((8, 16, 3))  # later frames must not be read
+
+    v3 = types.SimpleNamespace(imiter=fake_imiter)
+    monkeypatch.setitem(sys.modules, "imageio", types.SimpleNamespace(v3=v3))
+    monkeypatch.setitem(sys.modules, "imageio.v3", v3)
+    from bionext_spark.operators.multimodal import _decode_video
+
+    out = _decode_video(b"irrelevant", "mp4")
+    assert out == pytest.approx([0.0] * 8)
+
+
+def test_decode_real_dispatches_by_format():
+    from bionext_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError, match="Pillow|libvips"):
+        decode_real(b"x", "png")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_real(b"x", "wav")
+    with pytest.raises(NotImplementedError, match="imageio"):
+        decode_real(b"x", "mp4")
+    with pytest.raises(NotImplementedError, match="unknown media format"):
+        decode_real(b"x", "tarball")
