@@ -912,6 +912,112 @@ WHERE rn = 1
 """
 
 
+def kg_triples_tail(spark, sf):
+    """The KG pipeline's relational tail (P3 + J7 + A2 + F13) under a full
+    DuckDB oracle — the driver-checkable complement to the ``no_oracle``
+    ``kg_pipeline_triples`` row: deterministic stub chunk predictions are
+    planted in pure SQL over ``events`` (integer-valued logits, so the
+    per-class sums are exact in both engines), and the Spark side runs the
+    REAL ``aggregate_triples`` operator (operators/extraction.py:378-417;
+    reference src/extractor/__init__.py:88-141) — Negative_Class chunk
+    filter, composite-id explode×explode, per-(conv, subj, obj) logit
+    sums, first-max argmax over 9 relation classes + 2 novelty classes,
+    and the final Negative_Class triple filter.
+
+    Planted shape: ``pred_class = event_id % 9`` (so ~1/9 of chunks hit
+    the P3 filter), a "hot" relation class ``(event_id*7) % 9`` boosted by
+    +20 (covers class 8, so the FINAL Negative_Class filter also fires on
+    real groups), composite ids on every 3rd/4th row (so J7 explodes
+    1-or-2 × 1-or-2 ids per row)."""
+    from bionext_spark.operators.extraction import aggregate_triples
+
+    e = t(spark, sf, "events")
+    eid = F.col("event_id").cast("long")
+    g1 = F.concat(F.lit("G"), (eid % 7).cast("string"))
+    g2 = F.concat(F.lit("G"), ((eid + 1) % 7).cast("string"))
+    d1 = F.concat(F.lit("D"), (eid % 5).cast("string"))
+    d2 = F.concat(F.lit("D"), ((eid + 2) % 5).cast("string"))
+    hot = (eid * 7) % 9
+    preds = e.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 50).cast("string")).alias("conv_id"),
+        (eid % 9).cast("int").alias("pred_class"),
+        F.when(eid % 3 == 0, F.concat(g1, F.lit(","), g2)).otherwise(g1).alias("e1_id"),
+        F.when(eid % 4 == 0, F.concat(d1, F.lit(","), d2)).otherwise(d1).alias("e2_id"),
+        F.array(
+            *[
+                (F.when(hot == i, 20).otherwise(0) + (eid + i) % 10).cast("double")
+                for i in range(9)
+            ]
+        ).alias("rel_softmax"),
+        F.array(
+            *[
+                (F.when(eid % 2 == j, 5).otherwise(0) + (eid + j) % 3).cast("double")
+                for j in range(2)
+            ]
+        ).alias("novel_raw"),
+    )
+    return aggregate_triples(preds)
+
+
+_TAIL_S = ",\n         ".join(
+    f"sum(CASE WHEN (event_id * 7) % 9 = {i} THEN 20 ELSE 0 END"
+    f" + (event_id + {i}) % 10) AS s{i}"
+    for i in range(9)
+)
+_TAIL_N = ",\n         ".join(
+    f"sum(CASE WHEN event_id % 2 = {j} THEN 5 ELSE 0 END + (event_id + {j}) % 3) AS n{j}"
+    for j in range(2)
+)
+# First-max argmax — same tie semantics as Spark's array_position(max).
+_TAIL_IDX = "CASE " + " ".join(f"WHEN s{i} = m THEN {i}" for i in range(8)) + " ELSE 8 END"
+_TAIL_LABEL = (
+    "CASE label_idx "
+    + " ".join(
+        f"WHEN {i} THEN '{lbl}'"
+        for i, lbl in enumerate(
+            (
+                "Association",
+                "Positive_Correlation",
+                "Negative_Correlation",
+                "Cotreatment",
+                "Bind",
+                "Comparison",
+                "Conversion",
+                "Drug_Interaction",
+            )
+        )
+    )
+    + " END"
+)
+
+KG_TRIPLES_TAIL_SQL = f"""
+WITH p AS (
+  SELECT 'c' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+         CAST(event_id % 9 AS INT) AS pred_class,
+         CASE WHEN event_id % 3 = 0
+              THEN 'G' || CAST(event_id % 7 AS VARCHAR) || ',G' || CAST((event_id + 1) % 7 AS VARCHAR)
+              ELSE 'G' || CAST(event_id % 7 AS VARCHAR) END AS e1_id,
+         CASE WHEN event_id % 4 = 0
+              THEN 'D' || CAST(event_id % 5 AS VARCHAR) || ',D' || CAST((event_id + 2) % 5 AS VARCHAR)
+              ELSE 'D' || CAST(event_id % 5 AS VARCHAR) END AS e2_id,
+         event_id
+  FROM events),
+kept AS (SELECT * FROM p WHERE pred_class <> 8),
+x1 AS (SELECT conv_id, unnest(string_split(e1_id, ',')) AS subj, e2_id, event_id FROM kept),
+x2 AS (SELECT conv_id, subj, unnest(string_split(e2_id, ',')) AS obj, event_id FROM x1),
+agg AS (
+  SELECT conv_id, subj, obj,
+         {_TAIL_S},
+         {_TAIL_N}
+  FROM x2 GROUP BY conv_id, subj, obj),
+lab AS (
+  SELECT conv_id, subj, obj, n0, n1, {_TAIL_IDX} AS label_idx
+  FROM (SELECT *, greatest(s0,s1,s2,s3,s4,s5,s6,s7,s8) AS m FROM agg))
+SELECT conv_id, subj, {_TAIL_LABEL} AS pred, obj, (n1 > n0) AS novel
+FROM lab WHERE label_idx <> 8
+"""
+
+
 CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
@@ -927,4 +1033,5 @@ CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "kg_canonical_components": (kg_canonical_components, KG_CANONICAL_SQL),
     "kg_pair_mask": (kg_pair_mask, KG_PAIR_MASK_SQL),
     "kg_variant_cascade": (kg_variant_cascade, KG_VARIANT_SQL),
+    "kg_triples_tail": (kg_triples_tail, KG_TRIPLES_TAIL_SQL),
 }
