@@ -266,3 +266,50 @@ def test_bucket_reps_bijection(spark):
         .collect()
     )
     assert len({r["p"] for r in parts}) == n
+
+
+def test_aggregate_triples_tie_semantics(spark):
+    """Pin the first-max argmax rule aggregate_triples inherits from the
+    reference (np.argmax returns the FIRST maximal index): on an exact
+    relation-sum tie the LOWEST class index wins, and on a novelty tie
+    novel resolves to False (index 0). The kg_triples_tail DuckDB oracle's
+    CASE chain replicates exactly this rule — if the Spark side ever
+    changed tie behavior, this test fails before the driver compare does.
+    Also pins the two Negative_Class exits: pred_class==8 rows drop before
+    aggregation, and groups whose summed argmax is 8 drop after."""
+    from bionext_spark.config import NEGATIVE_CLASS, RELATION_LABELS
+    from bionext_spark.operators.extraction import aggregate_triples
+
+    n_rel = len(RELATION_LABELS)
+
+    def row(conv, e1, e2, pred_class, hot_idx, novel_pair):
+        rel = [0.0] * n_rel
+        rel[hot_idx] = 1.0
+        return (conv, pred_class, e1, e2, rel, list(novel_pair))
+
+    rows = [
+        # c1: classes 1 and 3 tie at 1.0 → first max = 1; novel sums tie
+        # (1.0, 1.0) → index 0 → novel False
+        row("c1", "A", "B", 0, 1, (1.0, 0.0)),
+        row("c1", "A", "B", 0, 3, (0.0, 1.0)),
+        # c2: would tip c1's tie, but pred_class == NEGATIVE_CLASS → the
+        # CHUNK filter drops it before aggregation
+        row("c1", "A", "B", NEGATIVE_CLASS, 3, (0.0, 5.0)),
+        # c3: group argmax lands on NEGATIVE_CLASS → TRIPLE filter drops it
+        row("c3", "X", "Y", 0, NEGATIVE_CLASS, (0.0, 1.0)),
+        # c4: clear winner class 2, novel sums (0, 2) → novel True
+        row("c4", "P", "Q", 1, 2, (0.0, 2.0)),
+    ]
+    preds = spark.createDataFrame(
+        rows,
+        "conv_id string, pred_class int, e1_id string, e2_id string, "
+        "rel_softmax array<double>, novel_raw array<double>",
+    )
+    got = {
+        (r["conv_id"], r["subj"], r["obj"]): (r["pred"], r["novel"])
+        for r in aggregate_triples(preds).collect()
+    }
+    assert got == {
+        ("c1", "A", "B"): (RELATION_LABELS[1], False),
+        ("c4", "P", "Q"): (RELATION_LABELS[2], True),
+    }
