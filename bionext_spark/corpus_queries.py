@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bionext_spark.entry_queries import t
+from bionext_spark.entry_queries import t, t_spread
 
 
 def _ranked_topk(scored: DataFrame, k: int, *order_cols) -> DataFrame:
@@ -112,34 +112,31 @@ def dedup_minhash_lsh(spark, sf, barrier=None):
     resumable stage table instead."""
     if barrier is None:
         barrier = lambda df: df.localCheckpoint()  # noqa: E731
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents", "doc_id", ["doc_id", "text"])
     # stride-2 w-shingling: half the shingles → half the md5 folding and
     # half the verify-array bytes, for the usual negligible recall cost
     # (adjacent char-8-grams are ~7/8 redundant); measured 18.2→~12s at
     # sf0.1. The oracle SQL uses the same stride.
-    arrs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(1, length(text) - 7), 2),"
-                " i -> substring(text, i, 8))"
-            )
-        ).alias("shs"),
+    shingle = (
+        "transform(sequence(1, greatest(1, length(text) - 7), 2), i -> substring(text, i, 8))"
     )
     # All 8 minhash streams from TWO md5s per shingle: a 32-hex digest
     # yields four independent 8-char windows, so md5(s) + md5('x'||s)
     # cover 8 hash families at a quarter of the hashing cost; the whole
     # fold is ONE aggregate expression per doc (one pass over the array,
     # no groupBy — signatures never shuffle). 'z' > any hex char = +∞.
+    # The digest folds over the RAW shingle stream (no array_distinct):
+    # min over a multiset equals min over its set, so dedup buys nothing
+    # here — only the jaccard verify below needs distinct arrays.
     mins = ", ".join(
         [f"'m{i}', least(acc.m{i}, substring(x.a, {8 * i + 1}, 8))" for i in range(4)]
         + [f"'m{i + 4}', least(acc.m{i + 4}, substring(x.b, {8 * i + 1}, 8))" for i in range(4)]
     )
     init = ", ".join(f"'m{i}', 'zzzzzzzz'" for i in range(8))
-    per_doc = arrs.select(
+    per_doc = d.select(
         "doc_id",
         F.expr(
-            "aggregate(transform(shs, s -> struct(md5(s) as a, md5(concat('x', s)) as b)), "
+            f"aggregate(transform({shingle}, s -> struct(md5(s) as a, md5(concat('x', s)) as b)), "
             f"named_struct({init}), (acc, x) -> named_struct({mins}))"
         ).alias("mins"),
     )
@@ -160,6 +157,23 @@ def dedup_minhash_lsh(spark, sf, barrier=None):
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
+        # tiny table (pairs of ids); the cut lets the two verify branches
+        # below reuse it without re-running the band self-join, and feeds
+        # the candidate-id semi-filter
+        .localCheckpoint()
+    )
+    # Verify ONLY candidate docs: the old form recomputed + broadcast the
+    # shingle arrays of the ENTIRE corpus on both sides of the pair join
+    # (two extra full-corpus sweeps and two ~|corpus|-sized broadcasts).
+    # A broadcast semi-join on the candidate ids (guide §3.2's
+    # semi-join/Bloom prefilter) bounds the verify sweep by |candidates|.
+    ids = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    arrs = d.join(F.broadcast(ids), "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(F.expr(shingle)).alias("shs")
     )
     j = (
         cand.join(arrs.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("shs1")), "doc1")

@@ -29,6 +29,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str, cols: list[str] | None = None
+) -> DataFrame:
+    """Scan-spread: the driver's test tables are single-file, single-row-group
+    parquet, so a bare scan plans as ONE task and everything up to the first
+    exchange (md5 folds, array HOFs, regex) runs on one core — the "one huge
+    unsplittable input" skew of guide §2.5. When (and only when) the scan is
+    narrower than the session parallelism, hash-repartition on ``key`` (a
+    unique/high-cardinality column, so the spread is even and — unlike a
+    round-robin repartition — pays no sort-before-repartition and stays
+    deterministic under task retry). The shuffle moves only ``cols`` (a few
+    MB here) once, and unlocks every core for the compute above it. At real
+    scale a 100 TB table scans as thousands of splits and this is a no-op."""
+    df = t(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 def _epoch(col):
     """Seconds-with-fraction epoch of a (NTZ) timestamp under the UTC
     session timezone — matches DuckDB's epoch() on naive timestamps."""
