@@ -51,7 +51,7 @@ def _ranked_topk(scored: DataFrame, k: int, *order_cols) -> DataFrame:
 
 def dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy on normalized text; keeper = min doc_id."""
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents", "doc_id", ["doc_id", "text"])
     norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
     return (
         d.select(F.md5(norm).alias("fingerprint"), "doc_id")
@@ -326,34 +326,28 @@ _HEXCASE = "CASE {c} " + " ".join(
 
 def dedup_simhash(spark, sf):
     """SimHash: 16-bit signature from the bit-majority of md5(token)
-    prefixes; identical signatures are near-dup candidates."""
-    d = t(spark, sf, "documents")
-    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-    tok = tok.withColumn("h", F.substring(F.md5("w"), 1, 4))
-    # 4 hex chars → 16 bits; per bit: +1 if set else -1, sum over tokens
-    nib = tok.select(
-        "doc_id",
-        *[
-            F.expr(_HEXCASE.format(c=f"substring(h, {i + 1}, 1)")).alias(f"n{i}")
-            for i in range(4)
-        ],
-    )
-    bit_cols = []
-    for i in range(4):
-        for b in range(4):
-            bit_cols.append(
-                F.sum(
-                    F.when(F.expr(f"int(n{i} / {2 ** (3 - b)}) % 2") == 1, 1).otherwise(-1)
-                ).alias(f"b{i * 4 + b}")
-            )
-    sums = nib.groupBy("doc_id").agg(*bit_cols)
-    sig = sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{k}") > 0, 1).otherwise(0) * (2 ** (15 - k))) for k in range(16)
-        ).cast("long").alias("simhash"),
-    )
-    return sig
+    prefixes; identical signatures are near-dup candidates.
+
+    Computed entirely MAP-SIDE per document (zero shuffle): the old form
+    exploded every token to a row (|corpus tokens| rows through a
+    groupBy exchange) and parsed each hex nibble with a 16-branch CASE
+    chain. Per-bit majority b_k = Σ_tokens(±1) satisfies
+    b_k > 0 ⟺ 2·set_k > n_tokens, so one transform computes the 16-bit
+    int per token (conv(hex) — one parse instead of 64 string compares)
+    and 16 cheap int-array filter passes count set_k."""
+    d = t_spread(spark, sf, "documents", "doc_id", ["doc_id", "text"])
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    vs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+    d2 = d.select("doc_id", vs.alias("vs"))
+    n = F.size(F.col("vs"))
+    bits = [
+        F.when(
+            F.size(F.filter(F.col("vs"), lambda v: F.shiftright(v, 15 - k) % 2 == 1)) * 2 > n,
+            F.lit(2 ** (15 - k)),
+        ).otherwise(F.lit(0))
+        for k in range(16)
+    ]
+    return d2.select("doc_id", sum(bits).cast("long").alias("simhash"))
 
 
 _D_HEX = _HEXCASE.format(c="substr(h, {i}, 1)")
@@ -395,13 +389,21 @@ _NORM = "sqrt(aggregate({a}, cast(0 as double), (s, x) -> s + cast(x as double) 
 def ann_topk_cosine(spark, sf):
     """Exact brute-force cosine top-10 vs the vec_id=0 query vector.
     Output = (vec_id, rnk) — ranks only, float-free across engines."""
-    em = t(spark, sf, "embeddings")
-    q = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    em = t_spread(spark, sf, "embeddings", "vec_id")
+    # query norm computed once in the 1-row broadcast side instead of once
+    # per corpus row (identical expression on identical values, so the
+    # cosine doubles are bit-equal)
+    q = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_NORM.format(a="qv")))
+    )
     scored = em.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
         "vec_id",
         (
             F.expr(_DOT.format(a="embedding", b="qv"))
-            / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+            / (F.expr(_NORM.format(a="embedding")) * F.col("qn"))
         ).alias("cos"),
     )
     return _ranked_topk(scored, 10, F.desc("cos"), "vec_id").select("vec_id", "rnk")
@@ -423,13 +425,13 @@ WHERE rnk <= 10
 def ann_lsh_bucket(spark, sf):
     """LSH scale path: 4 sign-bit hyperplane bucket (hyperplanes = rows
     vec_id 1..4), search only the query's bucket, top-5 by cosine."""
-    em = t(spark, sf, "embeddings")
+    em = t_spread(spark, sf, "embeddings", "vec_id")
     # All 4 sign bits fold in ONE projection against a broadcast 1-row array
     # of hyperplanes — zero shuffle for signatures (the round-1 version
     # grouped by (vec_id, embedding), shuffling full vectors as grouping
     # keys; at 100 TB the signature pass must not shuffle the vectors).
     planes = (
-        em.filter(F.col("vec_id").between(1, 4))
+        t(spark, sf, "embeddings").filter(F.col("vec_id").between(1, 4))
         .select(F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
         .groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("plane_id", "pv"))).alias("planes"))
@@ -442,8 +444,10 @@ def ann_lsh_bucket(spark, sf):
     sig = em.crossJoin(F.broadcast(planes)).select(
         "vec_id", "embedding", F.expr(bucket_expr).alias("bucket")
     )
-    qb = sig.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    qb = (
+        sig.filter(F.col("vec_id") == 0)
+        .select(F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_NORM.format(a="qv")))
     )
     scored = (
         sig.crossJoin(F.broadcast(qb))
@@ -452,7 +456,7 @@ def ann_lsh_bucket(spark, sf):
             "vec_id",
             (
                 F.expr(_DOT.format(a="embedding", b="qv"))
-                / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+                / (F.expr(_NORM.format(a="embedding")) * F.col("qn"))
             ).alias("cos"),
         )
     )
@@ -487,36 +491,58 @@ def ann_ivf_probe(spark, sf):
     its nprobe=2 best lists, exact cosine top-5 within the probed lists.
     Ties on assignment keep the lowest centroid id (ascending fold with
     strict >)."""
-    em = t(spark, sf, "embeddings")
+    em = t_spread(spark, sf, "embeddings", "vec_id")
+    # centroid norms ride inside the broadcast array, and each row's own
+    # norm is computed once — the old fold re-derived BOTH norms and the
+    # dot product twice per (row, centroid) inside the CASE (≈6× the O(d)
+    # folds per row). The division tree is unchanged (dot / (vn * cn)), so
+    # every cosine double is bit-identical; the fold still scans centroids
+    # in ascending cid with strict >, keeping the lowest-cid tie rule.
     cents = (
-        em.filter(F.col("vec_id").between(1, 8))
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id").between(1, 8))
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents0"))
+        .select(
+            F.expr(
+                "transform(cents0, c -> struct(c.cid as cid, c.cv as cv, "
+                + _NORM.format(a="c.cv")
+                + " as cn))"
+            ).alias("cents")
+        )
     )
-    cos_c = (
-        _DOT.format(a="embedding", b="c.cv")
-        + " / (" + _NORM.format(a="embedding") + " * " + _NORM.format(a="c.cv") + ")"
+    scored_c = (
+        "transform(cents, c -> struct(cast(c.cid as long) as cid, "
+        + _DOT.format(a="embedding", b="c.cv")
+        + " / (vn * c.cn) as cos))"
     )
     assign_expr = (
-        "aggregate(cents, named_struct('cid', cast(-1 as long), 'cos', cast(-2 as double)), "
-        f"(acc, c) -> CASE WHEN {cos_c} > acc.cos "
-        f"THEN named_struct('cid', cast(c.cid as long), 'cos', {cos_c}) ELSE acc END).cid"
+        f"aggregate({scored_c}, named_struct('cid', cast(-1 as long), 'cos', cast(-2 as double)), "
+        "(acc, c) -> CASE WHEN c.cos > acc.cos THEN c ELSE acc END).cid"
     )
-    assigned = em.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", F.expr(assign_expr).alias("list_id")
+    assigned = (
+        em.withColumn("vn", F.expr(_NORM.format(a="embedding")))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "vn", F.expr(assign_expr).alias("list_id"))
     )
     # query's nprobe=2 best centroids, ranked exactly like the assignment
-    q = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn", F.expr(_NORM.format(a="qv")))
+    )
     qprobe = (
-        em.filter(F.col("vec_id").between(1, 8))
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id").between(1, 8))
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .crossJoin(F.broadcast(q))
         .select(
             "cid",
             (
                 F.expr(_DOT.format(a="cv", b="qv"))
-                / (F.expr(_NORM.format(a="cv")) * F.expr(_NORM.format(a="qv")))
+                / (F.expr(_NORM.format(a="cv")) * F.col("qn"))
             ).alias("cos"),
         )
         .orderBy(F.desc("cos"), "cid")
@@ -531,7 +557,7 @@ def ann_ivf_probe(spark, sf):
             "vec_id",
             (
                 F.expr(_DOT.format(a="embedding", b="qv"))
-                / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="qv")))
+                / (F.col("vn") * F.col("qn"))
             ).alias("cos"),
         )
     )
@@ -577,16 +603,22 @@ WHERE rnk <= 5
 def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup: top-20 most-similar vector pairs within a keyed
     sample (vec_id % 5 = 0); rank output."""
-    em = t(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = em.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = em.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    em = t_spread(spark, sf, "embeddings", "vec_id").filter(F.col("vec_id") % 5 == 0)
+    # each side's norm computed once per VECTOR instead of once per PAIR
+    # (identical expression → identical doubles in the same division tree)
+    a = em.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")).withColumn(
+        "n1", F.expr(_NORM.format(a="e1"))
+    )
+    b = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+        .withColumn("n2", F.expr(_NORM.format(a="e2")))
+    )
     pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2")).select(
         "v1",
         "v2",
-        (
-            F.expr(_DOT.format(a="e1", b="e2"))
-            / (F.expr(_NORM.format(a="e1")) * F.expr(_NORM.format(a="e2")))
-        ).alias("cos"),
+        (F.expr(_DOT.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
     )
     return _ranked_topk(pairs, 20, F.desc("cos"), "v1", "v2").select("v1", "v2", "rnk")
 
@@ -615,7 +647,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "value")
 def text_stats(spark, sf):
     """Token counting + quality scoring + language-ID heuristic (stopword
     hit-rate) + punctuation ratio."""
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents", "doc_id")
     toks = F.split(F.lower("text"), r"\s+")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_tok = F.size(toks)
@@ -656,7 +688,7 @@ FROM feat
 def text_fingerprint(spark, sf):
     """Document fingerprint: min md5 over word-5-gram windows (rolling-
     hash analog, deterministic and shift-robust)."""
-    d = t(spark, sf, "documents")
+    d = t_spread(spark, sf, "documents", "doc_id", ["doc_id", "text"])
     words = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
     return words.select(
         "doc_id",
