@@ -88,13 +88,22 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_revenue_orders(spark, sf):
-    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf, "orders")
-    li = t(spark, sf, "lineitem")
+    """The query needs nothing from orders except WHICH orderkeys belong to
+    BUILDING customers (o_orderkey and c_custkey are unique keys — verified
+    on every sf — so the inner joins never fan out). Reducing them to a
+    broadcast key set turns the old lineitem⇄orders sort-merge shuffle into
+    a broadcast LEFT SEMI probe: the big side is never shuffled (guide
+    §3.1/§3.2; at true 100 TB the same shape falls out of the runtime
+    Bloom-filter join, with the keys table as the creation side)."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    keys = o.join(F.broadcast(c), o.o_custkey == F.col("c_custkey")).select("o_orderkey")
+    li = t_spread(
+        spark, sf, "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
     rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey")
+        li.join(F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
     return rev.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
@@ -115,6 +124,10 @@ GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 
 def j1_broadcast_lookup(spark, sf):
+    # Examined in r6 and left alone: a spread-by-brand variant (parallel
+    # Expand + aggs) measured SLOWER than the single-task probe (1.78 →
+    # 1.96s on the 10× profile set) — the 4-column shuffle out of the
+    # one-task scan costs more than the agg parallelism buys at 25 groups.
     li = t(spark, sf, "lineitem")
     p = t(spark, sf, "part")
     s = t(spark, sf, "supplier")
@@ -190,12 +203,24 @@ SELECT o_orderkey, event_id FROM (
 
 
 def j5_pair_selfjoin(spark, sf):
-    items = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part1"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part2"))
+    """Per-order distinct part set → in-array pair generation. The old
+    distinct + self-join + filter shape shuffled the 600k-row items table
+    three times (distinct, both join sides) and built a corpus-sized hash
+    relation; folding to sort_array(collect_set) per order makes the pair
+    expansion a map-side HOF over each (small) order's set — one exchange
+    on l_orderkey (shared with the scan-spread) plus the tiny pairs agg."""
+    li = t_spread(spark, sf, "lineitem", "l_orderkey", ["l_orderkey", "l_partkey"])
+    parts = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y -> struct(x as part1, y as part2))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part1") < F.col("part2"))
+        pairs.select("pr.part1", "pr.part2")
         .groupBy("part1", "part2")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -216,7 +241,9 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 
 
 def a1_majority_vote(spark, sf):
-    e = t(spark, sf, "events")
+    # hash(user_id) satisfies the clustering of BOTH groupBys below, so the
+    # spread's exchange is the only one in the plan
+    e = t_spread(spark, sf, "events", "user_id", ["user_id", "event_type"])
     counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
     return counts.groupBy("user_id").agg(
         F.min_by("event_type", F.struct((-F.col("cnt")).alias("nc"), F.col("event_type"))).alias(
@@ -240,16 +267,20 @@ SELECT user_id, event_type AS modal_event FROM (
 
 
 def a2_softmax_argmax(spark, sf):
-    em = t(spark, sf, "embeddings")
+    em = t_spread(spark, sf, "embeddings", "vec_id")
     # softmax per row. This DRIVER QUERY deliberately skips max-subtraction
     # (embedding values are small and the DuckDB oracle uses the identical
     # formula, so results are bit-equal); the PIPELINE kernel
     # kernels.softmax DOES subtract the max (numerically stable for model
     # logits) and its oracle shares that formula — two contexts, two
     # deliberate formulas, don't "unify" them.
-    em = em.withColumn("den", F.expr("aggregate(embedding, cast(0 as double), (s, x) -> s + exp(x))"))
+    # exp(x) computed once per element: the transform materializes the exp
+    # array and the denominator folds over IT with the same left-to-right
+    # additions (s + exp(x_i) ≡ s + ex_i), so every p is bit-identical
+    em = em.withColumn("ex", F.expr("transform(embedding, x -> exp(x))"))
+    em = em.withColumn("den", F.expr("aggregate(ex, cast(0 as double), (s, x) -> s + x)"))
     ex = em.select(
-        "label", F.posexplode(F.expr("transform(embedding, x -> exp(x))")).alias("pos", "num"), "den"
+        "label", F.posexplode("ex").alias("pos", "num"), "den"
     ).withColumn("p", F.col("num") / F.col("den"))
     sums = ex.groupBy("label", "pos").agg(F.sum("p").alias("s"))
     return sums.groupBy("label").agg(
@@ -343,7 +374,9 @@ FROM events WHERE value > 50
 
 
 def w1_ordered_reassembly(spark, sf):
-    li = t(spark, sf, "lineitem")
+    li = t_spread(
+        spark, sf, "lineitem", "l_orderkey", ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(
