@@ -267,7 +267,9 @@ SELECT user_id, event_type AS modal_event FROM (
 
 
 def a2_softmax_argmax(spark, sf):
-    em = t_spread(spark, sf, "embeddings", "vec_id")
+    # examined in r6: a scan-spread variant measured neutral at 10× scale
+    # (0.571s either way, best-of-3) and +0.11s at sf0.1 — not taken
+    em = t(spark, sf, "embeddings")
     # softmax per row. This DRIVER QUERY deliberately skips max-subtraction
     # (embedding values are small and the DuckDB oracle uses the identical
     # formula, so results are bit-equal); the PIPELINE kernel

@@ -134,16 +134,24 @@ def _decode_video(payload: bytes, fmt: str) -> list[float]:
         ) from e
     import numpy as np
 
-    frame = next(iter(iio.imiter(payload, extension=f".{fmt}")))
+    frame = next(iter(iio.imiter(payload, extension=f".{fmt}")), None)
+    if frame is None:
+        raise ValueError(f"video payload decoded to zero frames (format {fmt!r})")
     arr = np.asarray(frame, dtype="float64")
     if arr.ndim == 3:
         arr = arr.mean(axis=2)  # grayscale
     h, w = arr.shape
-    pooled = [
-        float(arr[r * h // 2 : (r + 1) * h // 2, c * w // 4 : (c + 1) * w // 4].mean())
-        for r in range(2)
-        for c in range(4)
-    ]
+    if h < 2 or w < 4:
+        # frames smaller than the 2x4 pool grid would produce empty slices
+        # whose mean() is NaN, violating the 8-float [-1, 1] contract
+        # (ADVICE r5) — fall back to the whole-frame mean for all 8 bins
+        pooled = [float(arr.mean())] * 8
+    else:
+        pooled = [
+            float(arr[r * h // 2 : (r + 1) * h // 2, c * w // 4 : (c + 1) * w // 4].mean())
+            for r in range(2)
+            for c in range(4)
+        ]
     return [p / 127.5 - 1.0 for p in pooled]
 
 

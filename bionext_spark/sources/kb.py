@@ -71,6 +71,10 @@ def _aligned_pairs(path: str) -> list[tuple[str, str]]:
         match = [n for n in npys if n.split("_")[0] == stem]
         if not match:
             raise FileNotFoundError(f"{path}: no .npy matching {j}")
+        if len(match) > 1:
+            # fail loudly instead of silently pairing with match[0] and
+            # dropping/double-loading embedding matrices (ADVICE r5)
+            raise ValueError(f"{path}: ambiguous .npy matches for {j}: {match}")
         pairs.append((j, match[0]))
     return pairs
 

@@ -268,8 +268,12 @@ def main() -> int:
     precision = tp / n_got if n_got else 0.0
     recall = tp / n_exp if n_exp else 0.0
     f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    # one novel value per key on each side before the novelty join: keyed()
+    # distinct keeps rows differing only in `novel`, and a fanned-out join
+    # could make nov exceed tp (novelty_accuracy > 1.0, ADVICE r5)
     nov = (
-        got.join(exp.withColumnRenamed("novel", "novel_exp"), key)
+        got.groupBy(*key).agg(F.max("novel").alias("novel"))
+        .join(exp.groupBy(*key).agg(F.max("novel").alias("novel_exp")), key)
         .filter(F.col("novel") == F.col("novel_exp"))
         .count()
     )

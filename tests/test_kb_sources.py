@@ -240,3 +240,17 @@ def test_side_data_builds_from_real_kb_tables(spark, kb_dirs):
     assert ids == ["D001", "D002", "D003"] and mat.shape == (3, 2)
     assert side.emb_taxa == ["10090", "9606"]
     assert side.known_taxa == ["9606"]
+
+
+def test_aligned_pairs_ambiguous_npy_raises(tmp_path):
+    """Two .npy files sharing one jsonl's stem must fail loudly instead of
+    silently pairing with the first match (ADVICE r5)."""
+    from bionext_spark.sources.kb import _aligned_pairs
+
+    kb = tmp_path / "AmbKB"
+    kb.mkdir()
+    _write_jsonl(kb / "names.jsonl", [{"id": "D1"}])
+    np.save(kb / "names_sapbert.npy", np.array([[1.0, 0.0]]))
+    np.save(kb / "names_other.npy", np.array([[0.0, 1.0]]))
+    with pytest.raises(ValueError, match="ambiguous"):
+        _aligned_pairs(str(kb))

@@ -175,3 +175,40 @@ def test_decode_real_dispatches_by_format():
         decode_real(b"x", "mp4")
     with pytest.raises(NotImplementedError, match="unknown media format"):
         decode_real(b"x", "tarball")
+
+
+def test_video_tiny_frame_falls_back_to_whole_frame_mean(monkeypatch):
+    """Frames smaller than the 2x4 pool grid must not yield NaN (empty
+    slices); the guard falls back to the whole-frame mean for all 8 bins."""
+    import sys
+    import types
+
+    import numpy as np
+
+    def fake_imiter(payload, extension=None):
+        yield np.full((1, 2), 255.0)  # 1x2 frame: below the 2x4 grid
+
+    v3 = types.SimpleNamespace(imiter=fake_imiter)
+    monkeypatch.setitem(sys.modules, "imageio", types.SimpleNamespace(v3=v3))
+    monkeypatch.setitem(sys.modules, "imageio.v3", v3)
+    from bionext_spark.operators.multimodal import _decode_video
+
+    out = _decode_video(b"irrelevant", "mp4")
+    assert out == pytest.approx([1.0] * 8)
+    assert all(v == v for v in out)  # no NaN
+
+
+def test_video_empty_stream_raises_clearly(monkeypatch):
+    import sys
+    import types
+
+    def fake_imiter(payload, extension=None):
+        return iter(())
+
+    v3 = types.SimpleNamespace(imiter=fake_imiter)
+    monkeypatch.setitem(sys.modules, "imageio", types.SimpleNamespace(v3=v3))
+    monkeypatch.setitem(sys.modules, "imageio.v3", v3)
+    from bionext_spark.operators.multimodal import _decode_video
+
+    with pytest.raises(ValueError, match="zero frames"):
+        _decode_video(b"irrelevant", "mp4")
