@@ -79,44 +79,53 @@ def _aligned_pairs(path: str) -> list[tuple[str, str]]:
     return pairs
 
 
-def _load_aligned(path: str, kb: str, rows: list[dict], rank0: int,
-                  pairs: list[tuple[str, str]] | None = None) -> int:
-    """Append one folder's (id, embedding) rows under kb name ``kb``.
-    Concatenating a folder's several (jsonl, npy) pairs under ONE kb is
-    semantically exact: the reference takes the max-scoring id across its
-    per-file argmaxes (cells.py:84-95), which equals the argmax over the
-    concatenation. ``pairs`` restricts to an explicit subset (the gene
-    folder holds one pair per taxon, each its own kb)."""
-    rank = rank0
-    for jname, nname in (pairs if pairs is not None else _aligned_pairs(path)):
-        with open(os.path.join(path, jname)) as f:
-            ids = [json.loads(line)["id"] for line in f if line.strip()]
-        mat = np.load(os.path.join(path, nname))
-        if len(ids) != mat.shape[0]:
+def _concept_pair_specs(kb_folder: str) -> list[tuple[str, str, str | None, int]]:
+    """(kb, jsonl_path, npy_path|None, rank0) in rank order — the driver's
+    METADATA-ONLY pass: row counts come from the jsonl line count and the
+    npy header (mmap, no data pages), so the misalignment check keeps its
+    driver-side semantics while no embedding matrix is ever materialized
+    on the driver. Concatenating a folder's several (jsonl, npy) pairs
+    under ONE kb is semantically exact: the reference takes the
+    max-scoring id across its per-file argmaxes (cells.py:84-95), which
+    equals the argmax over the concatenation."""
+
+    def n_lines(p: str) -> int:
+        with open(p) as f:
+            return sum(1 for line in f if line.strip())
+
+    specs: list[tuple[str, str, str | None, int]] = []
+    rank = 0
+
+    def add(kb: str, path: str, jname: str, nname: str) -> None:
+        nonlocal rank
+        jp, npp = os.path.join(path, jname), os.path.join(path, nname)
+        n_ids = n_lines(jp)
+        n_mat = int(np.load(npp, mmap_mode="r").shape[0])
+        if n_ids != n_mat:
             raise ValueError(
-                f"{path}: {jname} has {len(ids)} rows but {nname} has "
-                f"{mat.shape[0]} embedding rows — misaligned KB"
+                f"{path}: {jname} has {n_ids} rows but {nname} has "
+                f"{n_mat} embedding rows — misaligned KB"
             )
-        # unit-normalize here (reference normalizes at load,
-        # cells.py:61-62); the engine's hop assumes unit rows
-        norms = np.linalg.norm(mat, ord=2, axis=-1, keepdims=True)
-        mat = mat / np.where(norms == 0, 1.0, norms)
-        for i, _id in enumerate(ids):
-            rows.append(
-                {
-                    "kb": kb,
-                    "id": str(_id),
-                    # embedding KBs carry no surface form on disk (the
-                    # jsonl is ids aligned to npy rows); schema wants a
-                    # non-null text, and no hop reads it for these rows
-                    "text": "",
-                    "class": None,
-                    "embedding": [float(x) for x in mat[i]],
-                    "rank": rank,
-                }
-            )
-            rank += 1
-    return rank
+        specs.append((kb, jp, npp, rank))
+        rank += n_ids
+
+    for folder, kb in CONCEPT_DIRS.items():
+        path = os.path.join(kb_folder, folder)
+        if os.path.isdir(path):
+            for jname, nname in _aligned_pairs(path):
+                add(kb, path, jname, nname)
+    gene_dir = os.path.join(kb_folder, "NCBI-Gene", "embeddings")
+    if os.path.isdir(gene_dir):
+        # one (jsonl, npy) pair per taxon: '<tax>_*.jsonl' / '<tax>__*.npy'
+        # (genes.py:64-72 keys both by the stem before the first '_')
+        all_pairs = _aligned_pairs(gene_dir)
+        for tax in sorted({p[0].split("_")[0] for p in all_pairs}):
+            for jname, nname in [p for p in all_pairs if p[0].split("_")[0] == tax]:
+                add(f"gene_{tax}", gene_dir, jname, nname)
+    tax_path = os.path.join(kb_folder, "NCBI-Taxonomy", "names.jsonl")
+    if os.path.exists(tax_path):
+        specs.append(("taxonomy", tax_path, None, rank))
+    return specs
 
 
 def load_concept_lexicon(spark: SparkSession, kb_folder: str) -> DataFrame:
@@ -124,40 +133,65 @@ def load_concept_lexicon(spark: SparkSession, kb_folder: str) -> DataFrame:
     table (schema LEXICON_CONCEPTS_RANKED). kb names: 'mesh', 'ctd',
     'cellosaurus', 'gene_<tax_id>' (genes.py keys its matrices per
     taxon), 'taxonomy' (names only, no embeddings — the J2 dictionary
-    hop)."""
-    rows: list[dict] = []
-    rank = 0
-    for folder, kb in CONCEPT_DIRS.items():
-        path = os.path.join(kb_folder, folder)
-        if os.path.isdir(path):
-            rank = _load_aligned(path, kb, rows, rank)
-    gene_dir = os.path.join(kb_folder, "NCBI-Gene", "embeddings")
-    if os.path.isdir(gene_dir):
-        # one (jsonl, npy) pair per taxon: '<tax>_*.jsonl' / '<tax>__*.npy'
-        # (genes.py:64-72 keys both by the stem before the first '_')
-        all_pairs = _aligned_pairs(gene_dir)
-        for tax in sorted({p[0].split("_")[0] for p in all_pairs}):
-            sub = [p for p in all_pairs if p[0].split("_")[0] == tax]
-            rank = _load_aligned(gene_dir, f"gene_{tax}", rows, rank, pairs=sub)
-    tax_path = os.path.join(kb_folder, "NCBI-Taxonomy", "names.jsonl")
-    if os.path.exists(tax_path):
-        with open(tax_path) as f:
-            for line in f:
-                if not line.strip():
+    hop).
+
+    DISTRIBUTED (round-5 verdict #5): the driver enumerates file pairs and
+    header-level row counts only; each (jsonl, npy) pair is parsed,
+    unit-normalized (reference cells.py:61-62 — the engine's hop assumes
+    unit rows) and Arrow-shipped by a WORKER task, so a multi-million-
+    concept KB no longer pins the driver boxing floats row by row. The KB
+    folder must be on storage every executor can read — true locally and
+    for the shared-KB cluster layout the parity harness mirrors."""
+    specs = _concept_pair_specs(kb_folder)
+    if not specs:
+        return spark.createDataFrame([], LEXICON_CONCEPTS_RANKED)
+    spec_df = spark.createDataFrame(
+        [(kb, jp, npp, r0) for kb, jp, npp, r0 in specs],
+        "kb string, jsonl string, npy string, rank0 long",
+    ).repartition(len(specs))
+
+    def read_pairs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for kb, jp, npp, rank0 in pdf.itertuples(index=False):
+                with open(jp) as f:
+                    recs = [json.loads(line) for line in f if line.strip()]
+                if not recs:
                     continue
-                r = json.loads(line)
-                rows.append(
-                    {
-                        "kb": "taxonomy",
-                        "id": str(r["id"]),
-                        "text": r["text"],
-                        "class": r.get("class"),
-                        "embedding": None,
-                        "rank": rank,
-                    }
-                )
-                rank += 1
-    return spark.createDataFrame(rows, LEXICON_CONCEPTS_RANKED)
+                ranks = np.arange(rank0, rank0 + len(recs), dtype="int32")
+                if npp is not None:
+                    mat = np.load(npp)
+                    norms = np.linalg.norm(mat, ord=2, axis=-1, keepdims=True)
+                    # astype(float32) after the float64 normalization is the
+                    # same rounding the old createDataFrame float-cast did
+                    mat = (mat / np.where(norms == 0, 1.0, norms)).astype(np.float32)
+                    yield pd.DataFrame(
+                        {
+                            "kb": kb,
+                            "id": [str(r["id"]) for r in recs],
+                            # embedding KBs carry no surface form on disk
+                            # (the jsonl is ids aligned to npy rows); schema
+                            # wants a non-null text, and no hop reads it
+                            "text": "",
+                            "class": None,
+                            "embedding": list(mat),
+                            "rank": ranks,
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "kb": kb,
+                            "id": [str(r["id"]) for r in recs],
+                            "text": [r["text"] for r in recs],
+                            "class": [r.get("class") for r in recs],
+                            "embedding": None,
+                            "rank": ranks,
+                        }
+                    )
+
+    return spec_df.mapInPandas(read_pairs, LEXICON_CONCEPTS_RANKED)
 
 
 def load_gene_lexicon(spark: SparkSession, kb_folder: str) -> DataFrame:
