@@ -93,15 +93,16 @@ def dedup_minhash_lsh(spark, sf, barrier=None):
     selective. Candidates sharing ≥1 band signature are verified with
     exact jaccard over the char-8-gram shingle sets; emit jaccard ≥ 0.5.
 
-    100 TB shape — everything per-document stays MAP-SIDE: the distinct
-    shingle set is an array column (array_distinct over the substring
-    expansion, never exploded corpus-wide), each band signature is an
-    array_min over a transform of that array (zero shuffle, map-side
-    projection — no groupBy for signatures at all), and the exact-jaccard
-    verify ships each candidate pair its two shingle ARRAYS (two keyed
-    joins) and intersects them in one array_intersect kernel — no
-    |pairs|×|shingles| exploded join, no corpus-sized cache, cost strictly
-    ∝ |candidates|.
+    100 TB shape — everything per-document stays MAP-SIDE: the shingle
+    stream is an array column (substring expansion, never exploded
+    corpus-wide), all 8 band minima fold in ONE aggregate expression per
+    doc (zero shuffle — no groupBy for signatures at all), and the
+    exact-jaccard verify first semi-joins the corpus down to CANDIDATE
+    docs (r6; guide §3.2 semi-join prefilter — a Bloom filter at true
+    100 TB candidate counts), then ships each candidate pair its two
+    distinct-shingle ARRAYS (two keyed joins) and intersects them in one
+    array_intersect kernel — no |pairs|×|shingles| exploded join, no
+    corpus-sized cache or broadcast, cost strictly ∝ |candidates|.
 
     ``barrier``: plan-barrier strategy for the per-doc digest table (~70B
     per doc). Default = localCheckpoint — fine standalone to ~10⁹ docs,
